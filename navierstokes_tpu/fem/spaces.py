@@ -1,0 +1,190 @@
+"""Taylor-Hood P2/P1 function space on a simplex mesh.
+
+Replaces deal.II's FESystem/DoFHandler/DoFRenumbering stack (reference:
+src/NavierStokes.cpp:31-92).  The DoF layout is canonical and global by
+construction:
+
+  * pressure DoFs  = mesh vertices, index = vertex id          (n_p1,)
+  * velocity nodes = vertices then unique edges:               (n_p2,)
+      node id v            for vertex v
+      node id n_points + e for edge e
+  * velocity DoF arrays are stored node-major as (n_p2, dim)
+
+Because this ordering depends only on the mesh (never on the device count),
+checkpoints are automatically restorable at any device count — the property
+the reference needs 214 lines of raw-MPI k-way merging to establish
+(compute_ordered_dofs_indices, src/NavierStokes.cpp:571-784).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+from navierstokes_tpu.fem.reference_elements import (ReferenceSimplex,
+                                                     edges_of, facets_of)
+from navierstokes_tpu.mesh.geometry import Mesh
+
+
+def _encode_pairs(a: np.ndarray, b: np.ndarray, n: int) -> np.ndarray:
+    lo = np.minimum(a, b).astype(np.int64)
+    hi = np.maximum(a, b).astype(np.int64)
+    return lo * np.int64(n) + hi
+
+
+@dataclasses.dataclass
+class FaceData:
+    """Precomputed boundary-face quadrature data for one tag.
+
+    Replaces deal.II FEFaceValues loops (reference: src/NavierStokes.cpp:
+    257-278 Neumann term, :870-906 force integrals) with flat arrays ready
+    for batched device evaluation.
+    """
+    cells: np.ndarray          # (n_f,) adjacent cell ids
+    local_facets: np.ndarray   # (n_f,) local facet index in the cell
+    normals: np.ndarray        # (n_f, dim) outward unit normal (per face)
+    jxw: np.ndarray            # (n_f, n_fq) quadrature weights x |detJ_face|
+    qp_phys: np.ndarray        # (n_f, n_fq, dim) physical quad points
+    # Cell-basis tables evaluated at this face's quad points:
+    phi_v: np.ndarray          # (n_f, n_fq, n_v)
+    dphi_v_ref: np.ndarray     # (n_f, n_fq, n_v, dim) reference grads
+    phi_p: np.ndarray          # (n_f, n_fq, n_p)
+
+    @property
+    def n_faces(self):
+        return len(self.cells)
+
+
+class TaylorHoodSpace:
+    def __init__(self, mesh: Mesh, degree_velocity: int = 2,
+                 degree_pressure: int = 1):
+        mesh.ensure_positive_orientation()
+        self.mesh = mesh
+        self.dim = mesh.dim
+        self.rs = ReferenceSimplex(self.dim, degree_velocity, degree_pressure)
+
+        # ---- unique edges & P2 numbering --------------------------------
+        edges = np.array(edges_of(self.dim), dtype=np.int64)
+        cells = mesh.cells.astype(np.int64)
+        ca = cells[:, edges[:, 0]]                      # (nc, n_edges_local)
+        cb = cells[:, edges[:, 1]]
+        keys = _encode_pairs(ca, cb, mesh.n_points).ravel()
+        uniq, inverse = np.unique(keys, return_inverse=True)
+        self.n_edges = len(uniq)
+        cell_edges = inverse.reshape(ca.shape)          # local edge -> global
+
+        self.n_p1 = mesh.n_points
+        self.n_p2 = mesh.n_points + self.n_edges
+
+        # cell -> P2 node map, local order = vertices then edges (matches
+        # reference_elements shape ordering)
+        self.cell_p2 = np.concatenate(
+            [cells, mesh.n_points + cell_edges], axis=1).astype(np.int32)
+        self.cell_p1 = mesh.cells.astype(np.int32)
+
+        # P2 node coordinates (vertices + edge midpoints), used for BC
+        # interpolation (deal.II interpolate_boundary_values equivalent,
+        # src/NavierStokes.cpp:296-324) and VTU output.
+        ea = (uniq // np.int64(mesh.n_points)).astype(np.int64)
+        eb = (uniq % np.int64(mesh.n_points)).astype(np.int64)
+        mids = 0.5 * (mesh.points[ea] + mesh.points[eb])
+        self.p2_coords = np.concatenate([mesh.points, mids], axis=0)
+        self._edge_key_sorted = uniq  # sorted by construction (np.unique)
+
+        # boundary face -> (cell, local facet)
+        self._bf_cells, self._bf_locals = mesh.match_boundary_faces()
+
+    # ---- DoF queries -----------------------------------------------------
+
+    @property
+    def n_velocity_dofs(self):
+        return self.n_p2 * self.dim
+
+    @property
+    def n_pressure_dofs(self):
+        return self.n_p1
+
+    @property
+    def n_dofs(self):
+        return self.n_velocity_dofs + self.n_pressure_dofs
+
+    def edge_id(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        key = _encode_pairs(np.asarray(a, np.int64), np.asarray(b, np.int64),
+                            self.mesh.n_points)
+        idx = np.searchsorted(self._edge_key_sorted, key)
+        if (idx >= self.n_edges).any() or \
+                (self._edge_key_sorted[np.clip(idx, 0, self.n_edges - 1)]
+                 != key).any():
+            raise KeyError("edge not in mesh")
+        return idx
+
+    def p2_nodes_on_faces(self, faces: np.ndarray) -> np.ndarray:
+        """Unique P2 node ids lying on the given facets (vertices + facet
+        edges)."""
+        if len(faces) == 0:
+            return np.zeros((0,), np.int64)
+        faces = np.asarray(faces, np.int64)
+        nodes = [faces.ravel()]
+        d = faces.shape[1]
+        for i in range(d):
+            for j in range(i + 1, d):
+                nodes.append(self.mesh.n_points
+                             + self.edge_id(faces[:, i], faces[:, j]))
+        return np.unique(np.concatenate(nodes))
+
+    def p2_nodes_on_tag(self, tag: int) -> np.ndarray:
+        sel = self.mesh.boundary_tags == tag
+        return self.p2_nodes_on_faces(self.mesh.boundary_faces[sel])
+
+    # ---- face quadrature data ---------------------------------------------
+
+    @functools.lru_cache(maxsize=None)
+    def face_data(self, tag: int) -> FaceData:
+        mesh, rs, dim = self.mesh, self.rs, self.dim
+        sel = np.flatnonzero(mesh.boundary_tags == tag)
+        cells_of = self._bf_cells[sel].astype(np.int64)
+        locals_of = self._bf_locals[sel].astype(np.int64)
+        facets = np.array(facets_of(dim), dtype=np.int64)
+
+        n_f = len(sel)
+        verts = mesh.cells[cells_of][np.arange(n_f)[:, None],
+                                     facets[locals_of]]   # (n_f, dim)
+        fpts = mesh.points[verts]                          # (n_f, dim, dim)
+
+        # physical quad points: barycentric combo of facet vertices (in the
+        # canonical local facet order used by rs.facet_phi_* tables)
+        qp_phys = np.einsum("qk,fkd->fqd", rs.fq_bary, fpts)
+
+        if dim == 2:
+            t = fpts[:, 1] - fpts[:, 0]
+            detj = np.linalg.norm(t, axis=1)
+            nrm = np.stack([t[:, 1], -t[:, 0]], axis=1) / detj[:, None]
+        else:
+            e1 = fpts[:, 1] - fpts[:, 0]
+            e2 = fpts[:, 2] - fpts[:, 0]
+            cr = np.cross(e1, e2)
+            detj = np.linalg.norm(cr, axis=1)
+            nrm = cr / detj[:, None]
+
+        # orient outward: away from the owning cell's centroid
+        cell_cent = mesh.points[mesh.cells[cells_of]].mean(axis=1)
+        face_cent = fpts.mean(axis=1)
+        flip = np.einsum("fd,fd->f", nrm, face_cent - cell_cent) < 0
+        nrm[flip] *= -1.0
+
+        jxw = rs.fqw[None, :] * detj[:, None]
+        if dim == 3:
+            pass  # fqw sums to 1/2; detj = 2*area -> total = area (correct)
+
+        return FaceData(
+            cells=cells_of.astype(np.int32),
+            local_facets=locals_of.astype(np.int32),
+            normals=nrm,
+            jxw=jxw,
+            qp_phys=qp_phys,
+            phi_v=rs.facet_phi_v[locals_of],
+            dphi_v_ref=rs.facet_dphi_v[locals_of],
+            phi_p=rs.facet_phi_p[locals_of],
+        )

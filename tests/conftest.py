@@ -1,0 +1,17 @@
+"""Test configuration: run JAX on a host-simulated 8-device CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; the sharding layer is
+exercised on XLA's virtual CPU devices instead (same SPMD partitioner).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
