@@ -1,0 +1,108 @@
+"""Batched per-cell assembly data — the TPU-native replacement for the
+reference's per-cell FEValues assembly loop (src/NavierStokes.cpp:133-330).
+
+Instead of assembling a distributed sparse matrix each step, we precompute
+*geometric factors* per cell once (detJ, J^-1 — constant for affine
+simplices) and contract them with tiny fixed reference tensors
+(fem/reference_elements.py) into per-cell scalar element matrices.  The
+Taylor-Hood monolithic block matrix has the structure
+
+    [ kron(I_dim, F_c)   G ]   F_c = M/dt + nu*K + C(u_old)   (scalar n_v x n_v)
+    [ G^T                0 ]   G   = pressure-gradient coupling
+
+so only the *scalar* blocks are ever materialized: (n_cells, n_v, n_v) for
+F_c and (n_cells, n_v, dim, n_p) for G.  The convection part C(u_old) is the
+only per-step rebuild (reference: the whole matrix is rebuilt per step,
+cpp:154-294 — our static/dynamic split realizes the design the reference
+left as dead declarations, assemble_static_matrices, hpp:195-199).
+
+Integrand parity with the reference (cpp:191-248):
+  mass/dt        : (phi_i . phi_j)/dt
+  viscosity      : nu * grad(phi_i) : grad(phi_j)
+  convection T1  : phi_i . (u_old . grad) phi_j        (cpp:204-208)
+  pressure       : -(div phi_i) psi_j  and  -(div phi_j) psi_i
+  lumped mass    : |sum_j (phi_j . phi_i)| accumulated -> dt / (.)
+                   (cpp:232-236, 287-290; used by the Yosida preconditioner)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navierstokes_tpu.fem.spaces import FaceData, TaylorHoodSpace
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CellArrays:
+    """Device-resident static per-cell data (pytree)."""
+    cell_p2: jax.Array      # (nc, n_v) int32 velocity-node ids
+    cell_p1: jax.Array      # (nc, n_p) int32 pressure-node ids
+    detj: jax.Array         # (nc,)
+    jinv: jax.Array         # (nc, dim, dim) reference<-physical
+    mass: jax.Array         # (nc, n_v, n_v) scalar mass element matrices
+    stiff: jax.Array        # (nc, n_v, n_v) scalar stiffness
+    grad: jax.Array         # (nc, n_v, dim, n_p) -int d_d(phi_a) psi_j
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FaceArrays:
+    """Device-resident boundary-face quadrature data for one tag."""
+    vel_nodes: jax.Array    # (nf, n_v) int32 — owning cell's velocity nodes
+    p_nodes: jax.Array      # (nf, n_p) int32
+    phi_v: jax.Array        # (nf, n_fq, n_v)
+    dphi_phys: jax.Array    # (nf, n_fq, n_v, dim) physical gradients
+    phi_p: jax.Array        # (nf, n_fq, n_p)
+    normals: jax.Array      # (nf, dim) outward unit normals
+    jxw: jax.Array          # (nf, n_fq)
+
+
+def geometric_factors(space: TaylorHoodSpace):
+    """Affine-map factors per cell: detJ (signed, positive after orientation
+    fix) and J^{-1} with J[:, k] = v_{k+1} - v_0."""
+    mesh = space.mesh
+    p = mesh.points[mesh.cells]                  # (nc, dim+1, dim)
+    J = np.swapaxes(p[:, 1:, :] - p[:, :1, :], 1, 2)  # (nc, dim, dim)
+    detj = np.linalg.det(J)
+    jinv = np.linalg.inv(J)
+    return detj, jinv
+
+
+def build_cell_arrays(space: TaylorHoodSpace, dtype=jnp.float32) -> CellArrays:
+    rs = space.rs
+    detj, jinv = geometric_factors(space)
+
+    # physical stiffness: k_ab = detJ * K_hat[x,y,a,b] (Jinv Jinv^T)[x,y]
+    C = np.einsum("cxd,cyd->cxy", jinv, jinv) * detj[:, None, None]
+    stiff = np.einsum("xyab,cxy->cab", rs.K_hat, C)
+    mass = detj[:, None, None] * rs.M_hat[None, :, :]
+    # G[c,a,d,j] = -detJ * G_hat[a,x,j] Jinv[c,x,d]
+    grad = -np.einsum("axj,cxd,c->cadj", rs.G_hat, jinv, detj)
+
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    return CellArrays(
+        cell_p2=jnp.asarray(space.cell_p2),
+        cell_p1=jnp.asarray(space.cell_p1),
+        detj=f(detj), jinv=f(jinv), mass=f(mass), stiff=f(stiff),
+        grad=f(grad),
+    )
+
+
+def build_face_arrays(space: TaylorHoodSpace, tag: int,
+                      dtype=jnp.float32) -> FaceArrays:
+    fd: FaceData = space.face_data(tag)
+    _, jinv = geometric_factors(space)
+    jinv_f = jinv[fd.cells]                                  # (nf, dim, dim)
+    dphi_phys = np.einsum("fqbx,fxd->fqbd", fd.dphi_v_ref, jinv_f)
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    return FaceArrays(
+        vel_nodes=jnp.asarray(space.cell_p2[fd.cells]),
+        p_nodes=jnp.asarray(space.cell_p1[fd.cells]),
+        phi_v=f(fd.phi_v), dphi_phys=f(dphi_phys), phi_p=f(fd.phi_p),
+        normals=f(fd.normals), jxw=f(fd.jxw),
+    )
