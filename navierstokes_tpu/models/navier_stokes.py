@@ -1,0 +1,412 @@
+"""Incompressible Navier-Stokes solver — the flagship model.
+
+TPU-native re-design of the reference's ``NavierStokes`` class
+(src/NavierStokes.hpp:51-271, src/NavierStokes.cpp) with the same public
+surface: ``setup``, ``set_re_number``, ``assemble``, ``solve_time_step``,
+``solve(time_step=0)``, ``output``, ``export_data`` / ``import_data`` /
+``post_process``, ``compute_forces``.
+
+Numerics (parity with src/NavierStokes.cpp:133-330):
+semi-implicit scheme — at each step solve the linear saddle-point system
+
+    [ M/dt + nu K + C(u^n)   G ] [u^{n+1}]   [ M u^n / dt + f + neumann ]
+    [ G^T                    0 ] [p^{n+1}] = [ 0                        ]
+
+with Dirichlet velocity BCs eliminated by projection/lifting, solved by
+flexible GMRES with the aSIMPLE (default) block preconditioner.
+
+TPU execution model: ``output_step`` time steps run as ONE jitted
+``lax.scan`` — assembly, Krylov solve, force integrals all on device, no
+host round-trips inside the chunk (the reference crosses MPI/host
+boundaries hundreds of times per step — SURVEY.md par.3.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _walltime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navierstokes_tpu.config import InletConfig, SolverConfig
+from navierstokes_tpu.fem.spaces import TaylorHoodSpace
+from navierstokes_tpu.mesh.geometry import Mesh, TAG_OBSTACLE, TAG_OUTLET
+from navierstokes_tpu.mesh.msh_io import read_msh
+from navierstokes_tpu.ops.assembly import (build_cell_arrays,
+                                           build_face_arrays)
+from navierstokes_tpu.ops.boundary import DirichletBC, build_dirichlet
+from navierstokes_tpu.ops.forces import drag_lift, force_coefficients, \
+    neumann_rhs
+from navierstokes_tpu.ops.operators import (apply_blocks, build_scatter,
+                                            convection_matrices, f_diag,
+                                            lumped_mass, mass_apply,
+                                            schur_diag)
+from navierstokes_tpu.solvers.krylov import fgmres
+from navierstokes_tpu.solvers.preconditioners import (InnerSolve,
+                                                      make_asimple,
+                                                      make_ayosida,
+                                                      make_identity)
+from navierstokes_tpu.utils.checkpoint import export_state, import_state
+from navierstokes_tpu.utils.csv_logger import ForcesCsv
+from navierstokes_tpu.utils.vtu import write_vtu_pvtu
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StepMetrics:
+    """Per-step scalars, matching the csv schema minus host timings."""
+    time: jax.Array
+    iterations: jax.Array
+    residual: jax.Array
+    drag: jax.Array
+    lift: jax.Array
+    cd: jax.Array
+    cl: jax.Array
+
+
+class NavierStokes:
+    """Constructor mirrors the reference's
+    (mesh, degree_velocity, degree_pressure, deltat, T, step —
+    src/NavierStokes.hpp:173-189); everything else via SolverConfig /
+    InletConfig."""
+
+    def __init__(self, mesh, degree_velocity: int = 2,
+                 degree_pressure: int = 1, deltat: float = 0.01,
+                 T: float = 1.0, step: int = 10,
+                 inlet: InletConfig | None = None,
+                 config: SolverConfig | None = None):
+        self.config = config or SolverConfig()
+        self.config.deltat = deltat
+        self.config.t_final = T
+        self.config.output_step = step
+        self.inlet = inlet or InletConfig()
+        self.degree_velocity = degree_velocity
+        self.degree_pressure = degree_pressure
+        self._mesh_source = mesh
+        self.nu = self.config.nu
+        self.mesh: Mesh | None = None
+        self.space: TaylorHoodSpace | None = None
+        self.time = 0.0
+        self.drag = self.lift = self.cd = self.cl = 0.0
+        self._is_setup = False
+
+    # ------------------------------------------------------------------
+    # setup & physics parameters
+    # ------------------------------------------------------------------
+
+    def set_re_number(self, Re: float):
+        """nu = U_mean * ref_length / Re (parity:
+        src/NavierStokes.cpp:332-341, Diameter=0.4 default)."""
+        U = self.inlet.steady_mean_velocity()
+        self.nu = (U * self.config.ref_length) / Re
+        print(f"Reynolds number set to {Re} with nu = {self.nu}")
+        if self._is_setup:
+            self._build_static()  # refresh nu-dependent operators
+
+    def setup(self):
+        cfg = self.config
+        self.dtype = jnp.dtype(cfg.dtype)
+        if isinstance(self._mesh_source, Mesh):
+            self.mesh = self._mesh_source
+        else:
+            self.mesh = read_msh(str(self._mesh_source))
+        self.space = TaylorHoodSpace(self.mesh, self.degree_velocity,
+                                     self.degree_pressure)
+        sp = self.space
+        self.dim = sp.dim
+        print(sp.mesh.summary())
+        print(f"DoFs: velocity {sp.n_velocity_dofs} + pressure "
+              f"{sp.n_pressure_dofs} = {sp.n_dofs}")
+
+        self.cells = build_cell_arrays(sp, dtype=self.dtype)
+        self.t_hat = jnp.asarray(sp.rs.T_hat, dtype=self.dtype)
+        self.mlump_hat = jnp.asarray(sp.rs.Mlump_hat, dtype=self.dtype)
+        self.scat_v = build_scatter(sp.cell_p2, sp.n_p2)
+        self.scat_p = build_scatter(sp.cell_p1, sp.n_p1)
+        self.bc: DirichletBC = build_dirichlet(sp, self.inlet,
+                                               dtype=self.dtype)
+
+        # boundary-face data
+        tags = set(self.mesh.boundary_tags.tolist())
+        self.faces_out = (build_face_arrays(sp, TAG_OUTLET, self.dtype)
+                          if TAG_OUTLET in tags else None)
+        self.faces_obst = (build_face_arrays(sp, TAG_OBSTACLE, self.dtype)
+                           if TAG_OBSTACLE in tags else None)
+
+        # constant Neumann RHS (p_out, cpp:257-278); zero when p_out == 0
+        if self.faces_out is not None and cfg.p_out != 0.0:
+            scat = build_scatter(
+                np.asarray(self.faces_out.vel_nodes), sp.n_p2)
+            self.rhs_neumann = neumann_rhs(self.faces_out, cfg.p_out, scat)
+        else:
+            self.rhs_neumann = jnp.zeros((sp.n_p2, self.dim), self.dtype)
+
+        self._build_static()
+        self._chunks = {}
+        self._is_setup = True
+        return self
+
+    def _build_static(self):
+        """nu/dt-dependent static per-cell operator A0 = M/dt + nu K and the
+        dt/lumped-mass vector (for aYosida)."""
+        dt = self.config.deltat
+        self.a0_cell = self.cells.mass / dt + self.nu * self.cells.stiff
+        lm = lumped_mass(self.cells, self.mlump_hat, self.scat_v)
+        self.dt_mlump_inv = (dt / lm)[:, None]
+        self._chunks = {}  # operators changed -> invalidate compiled chunks
+
+    # ------------------------------------------------------------------
+    # single time step (pure function of state, jit/scan-able)
+    # ------------------------------------------------------------------
+
+    def _time_factor(self, t):
+        if self.inlet.pulsating:
+            return jnp.sin(jnp.pi * t / self.inlet.period)
+        return jnp.asarray(1.0, self.dtype)
+
+    def _step_fn(self, u, p, t_prev):
+        """One semi-implicit step: returns (u_new, p_new, metrics)."""
+        cfg = self.config
+        cells, bc = self.cells, self.bc
+        scat_v, scat_p = self.scat_v, self.scat_p
+        mask = bc.mask                                  # (n_p2, 1)
+        dt = cfg.deltat
+        t_new = t_prev + dt
+
+        # ---- assemble (cpp:133-330): static + convection ----
+        conv = convection_matrices(cells, self.t_hat, u)
+        f_cell = self.a0_cell + conv
+
+        # diag of F + conditioning scale sigma for constrained rows
+        d = f_diag(cells, f_cell, self.scat_v)          # (n_p2,)
+        mflat = mask[:, 0]
+        sigma = jnp.sum(d * mflat) / jnp.maximum(jnp.sum(mflat), 1.0)
+        d_bc = d * mflat + sigma * (1.0 - mflat)
+        dinv = (1.0 / d_bc)[:, None]
+
+        # ---- BC-masked block operators ----
+        def apply_A(x):
+            xu, xp = x
+            xum = xu * mask
+            yu, yp = apply_blocks(cells, f_cell, scat_v, scat_p, xum, xp)
+            yu = yu * mask + sigma * (xu - xum)
+            return yu, yp
+
+        zero_p = jnp.zeros(self.space.n_p1, self.dtype)
+
+        def apply_F(xu):
+            xum = xu * mask
+            yu, _ = apply_blocks(cells, f_cell, scat_v, scat_p, xum, zero_p,
+                                 with_g=False, with_gt=False)
+            return yu * mask + sigma * (xu - xum)
+
+        def apply_B(xu):
+            _, yp = apply_blocks(cells, f_cell, scat_v, scat_p, xu * mask,
+                                 zero_p, with_f=False, with_g=False)
+            return yp
+
+        def apply_Bt(xp):
+            yu, _ = apply_blocks(cells, f_cell, scat_v, scat_p,
+                                 jnp.zeros_like(u), xp,
+                                 with_f=False, with_gt=False)
+            return yu * mask
+
+        # ---- RHS (cpp:240-278): M u^n/dt + forcing + Neumann, lifted ----
+        factor = self._time_factor(t_new).astype(self.dtype)
+        g = bc.lift(factor)                             # lifted Dirichlet
+        b_u = mass_apply(cells, scat_v, u) / dt + self.rhs_neumann
+        ag_u, ag_p = apply_blocks(cells, f_cell, scat_v, scat_p, g, zero_p)
+        b_u = (b_u - ag_u) * mask + sigma * g
+        b_p = -ag_p
+
+        # ---- preconditioner (cpp:344-397 chooses aSIMPLE) ----
+        inner_f = InnerSolve(cfg.inner_tol, cfg.inner_maxiter_f)
+        inner_s = InnerSolve(cfg.inner_tol, cfg.inner_maxiter_s)
+        if cfg.preconditioner == "asimple":
+            diag_s = schur_diag(cells, dinv[:, 0] * mflat, self.scat_p)
+            M = make_asimple(apply_F, apply_B, apply_Bt, dinv, diag_s,
+                             cfg.alpha, inner_f, inner_s)
+        elif cfg.preconditioner == "ayosida":
+            w = self.dt_mlump_inv[:, 0] * mflat
+            diag_s = schur_diag(cells, w, self.scat_p)
+            M = make_ayosida(apply_F, apply_B, apply_Bt, dinv,
+                             self.dt_mlump_inv, diag_s, inner_f, inner_s)
+        else:
+            M = make_identity()
+
+        # ---- outer FGMRES, warm-started from the previous step ----
+        # (deal.II GMRES starts from solution_owned and uses
+        #  tol = 1e-6 * ||rhs||, cpp:348, 377)
+        x0 = (u * mask + g, p)
+        res = fgmres(apply_A, (b_u, b_p), x0=x0, tol=cfg.outer_tol,
+                     restart=cfg.outer_restart, maxiter=cfg.outer_maxiter,
+                     precond=M)
+        u_new, p_new = res.x
+        u_new = u_new * mask + g   # exact boundary values
+
+        # ---- forces (cpp:831-929) ----
+        if self.faces_obst is not None:
+            drag, lift = drag_lift(self.faces_obst, u_new, p_new, self.nu)
+            u_mean = (self.inlet.steady_mean_velocity()
+                      * self._time_factor(t_new))
+            cd, cl = force_coefficients(drag, lift, u_mean,
+                                        cfg.ref_length, self.dim,
+                                        cfg.span_3d)
+        else:
+            drag = lift = cd = cl = jnp.asarray(0.0, self.dtype)
+
+        metrics = StepMetrics(time=t_new, iterations=res.iterations,
+                              residual=res.residual, drag=drag, lift=lift,
+                              cd=cd, cl=cl)
+        return u_new, p_new, t_new, metrics
+
+    def _chunk_fn(self, n_steps: int):
+        """Compiled scan over n_steps time steps."""
+        if n_steps not in self._chunks:
+            def run(u, p, t0):
+                def body(carry, _):
+                    u, p, t = carry
+                    u, p, t, m = self._step_fn(u, p, t)
+                    return (u, p, t), m
+
+                (u, p, t), ms = jax.lax.scan(body, (u, p, t0), None,
+                                             length=n_steps)
+                return u, p, t, ms
+
+            self._chunks[n_steps] = jax.jit(run, donate_argnums=(0, 1))
+        return self._chunks[n_steps]
+
+    # ------------------------------------------------------------------
+    # reference-parity public API
+    # ------------------------------------------------------------------
+
+    def assemble(self, time: float):
+        """Expose the assembled per-cell operator at a given time (testing /
+        introspection parity with cpp:133-330)."""
+        conv = convection_matrices(self.cells, self.t_hat, self._u)
+        return self.a0_cell + conv
+
+    def solve_time_step(self):
+        """Advance exactly one step (parity with cpp:344-397)."""
+        u, p, t, m = jax.jit(self._step_fn)(self._u, self._p,
+                                            jnp.asarray(self.time,
+                                                        self.dtype))
+        self._u, self._p = u, p
+        self.time = float(t)
+        self._record(m)
+        return m
+
+    def _record(self, m: StepMetrics, idx=None):
+        get = (lambda a: float(np.asarray(a)[idx]) if idx is not None
+               else float(np.asarray(a)))
+        self.drag, self.lift = get(m.drag), get(m.lift)
+        self.cd, self.cl = get(m.cd), get(m.cl)
+
+    def _init_state(self, time_step: int = 0):
+        sp = self.space
+        if time_step == 0:
+            # InitialConditions are identically zero (hpp:140-163)
+            self.time = 0.0
+            self._u = jnp.zeros((sp.n_p2, self.dim), self.dtype)
+            self._p = jnp.zeros(sp.n_p1, self.dtype)
+        else:
+            u, p, t = import_state(self.config.cache_dir, time_step)
+            self.time = t
+            self._u = jnp.asarray(u, self.dtype)
+            self._p = jnp.asarray(p, self.dtype)
+            print(f"Continuing execution from time step {time_step}")
+
+    def solve(self, time_step: int = 0, csv_path: str | None = None):
+        """Full time loop (parity with cpp:439-499): ICs or restart, then
+        chunked stepping with csv + VTU + checkpoint every output_step."""
+        assert self._is_setup, "call setup() first"
+        cfg = self.config
+        self._init_state(time_step)
+        self.export_data(time_step)
+
+        dt = cfg.deltat
+        n_total = int(np.floor(cfg.t_final / dt + 0.5)) - time_step
+        out_every = cfg.output_step
+
+        csv = ForcesCsv(csv_path or cfg.csv_path)
+        ts = time_step
+        done = 0
+        while done < n_total:
+            k = min(out_every - (ts % out_every) if out_every else n_total,
+                    n_total - done)
+            run = self._chunk_fn(k)
+            t0 = _walltime.perf_counter()
+            self._u, self._p, t_dev, ms = run(
+                self._u, self._p, jnp.asarray(self.time, self.dtype))
+            ms = jax.tree.map(np.asarray, ms)
+            wall = _walltime.perf_counter() - t0
+            self.time = float(t_dev)
+            per_step = wall / k
+            for i in range(k):
+                csv.row(ms.time[i], dt, ms.iterations[i], 0.0, per_step,
+                        ms.drag[i], ms.lift[i], ms.cd[i], ms.cl[i])
+            self._record(ms, idx=-1)
+            done += k
+            ts += k
+            print(f"n = {ts:4d}, t = {self.time:.4f}: "
+                  f"{int(ms.iterations[-1])} FGMRES its, "
+                  f"Cd = {self.cd:.5f}, Cl = {self.cl:.5f} "
+                  f"({per_step * 1e3:.1f} ms/step)")
+            if out_every and ts % out_every == 0:
+                self.output(ts)
+                self.export_data(ts)
+        csv.close()
+        return self
+
+    # ---- I/O parity ---------------------------------------------------
+
+    def output(self, time_step: int):
+        """VTU/PVTU dump (parity with cpp:400-436)."""
+        sp = self.space
+        part = self._partitioning_field()
+        write_vtu_pvtu(self.config.output_dir, "output-stokes", time_step,
+                       sp.p2_coords, np.asarray(sp.cell_p2),
+                       np.asarray(self._u), np.asarray(self._p), part)
+
+    def _partitioning_field(self):
+        try:
+            from navierstokes_tpu.parallel.sharding import cell_partitioning
+            return cell_partitioning(self.space.mesh.n_cells,
+                                     self.config.n_devices)
+        except Exception:
+            return np.zeros(self.space.mesh.n_cells)
+
+    def export_data(self, time_step: int):
+        export_state(self.config.cache_dir, time_step, self._u, self._p,
+                     self.time)
+
+    def import_data(self, time_step: int):
+        self._init_state(time_step)
+
+    def compute_forces(self, time: float | None = None):
+        """Force recomputation on the current state (cpp:831-929)."""
+        t = self.time if time is None else time
+        drag, lift = drag_lift(self.faces_obst, self._u, self._p, self.nu)
+        u_mean = (self.inlet.steady_mean_velocity()
+                  * float(self._time_factor(jnp.asarray(t, self.dtype))))
+        cd, cl = force_coefficients(float(drag), float(lift), u_mean,
+                                    self.config.ref_length, self.dim,
+                                    self.config.span_3d)
+        self.drag, self.lift = float(drag), float(lift)
+        self.cd, self.cl = float(cd), float(cl)
+        return self.cd, self.cl
+
+    def post_process(self, initial_time_step: int, final_time_step: int,
+                     step: int):
+        """Replay checkpoints: import -> forces -> VTU, without re-solving
+        (parity with cpp:808-828 + src/postprocess.cpp)."""
+        results = []
+        for ts in range(initial_time_step, final_time_step + 1, step):
+            self._init_state(ts)
+            cd, cl = self.compute_forces(self.time)
+            self.output(ts)
+            results.append((ts, self.time, cd, cl))
+            print(f"post-process ts={ts}: Cd={cd:.5f} Cl={cl:.5f}")
+        return results
