@@ -39,10 +39,11 @@ from navierstokes_tpu.ops.assembly import (build_cell_arrays,
 from navierstokes_tpu.ops.boundary import DirichletBC, build_dirichlet
 from navierstokes_tpu.ops.forces import drag_lift, force_coefficients, \
     neumann_rhs
-from navierstokes_tpu.ops.operators import (apply_blocks, build_scatter,
-                                            convection_matrices, f_diag,
-                                            lumped_mass, mass_apply,
-                                            schur_diag)
+from navierstokes_tpu.ops.operators import build_scatter, convection_matrices
+from navierstokes_tpu.parallel.sharded_ops import (ShardedOps,
+                                                   SingleDeviceOps,
+                                                   shard_problem)
+from navierstokes_tpu.parallel.sharding import device_mesh
 from navierstokes_tpu.solvers.krylov import fgmres
 from navierstokes_tpu.solvers.preconditioners import (InnerSolve,
                                                       make_asimple,
@@ -64,6 +65,25 @@ class StepMetrics:
     lift: jax.Array
     cd: jax.Array
     cl: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StepParams:
+    """All device-resident step inputs, passed as jit ARGUMENTS (not trace
+    constants) so compiled programs are value-independent: the persistent
+    compilation cache then serves every scenario on a same-shaped mesh."""
+    cells: object           # CellArrays
+    a0_cell: jax.Array      # (nc, n_v, n_v) static part M/dt + nu K
+    t_hat: jax.Array
+    bc: DirichletBC
+    rhs_neumann: jax.Array
+    dt_mlump_inv: jax.Array
+    nu: jax.Array           # scalar
+    u_mean0: jax.Array      # steady mean inlet velocity (scalar)
+    scat_v: object          # Scatter (velocity nodes)
+    scat_p: object          # Scatter (pressure nodes)
+    faces_obst: object      # FaceArrays | None (obstacle, tag 4)
 
 
 class NavierStokes:
@@ -122,11 +142,29 @@ class NavierStokes:
 
         self.cells = build_cell_arrays(sp, dtype=self.dtype)
         self.t_hat = jnp.asarray(sp.rs.T_hat, dtype=self.dtype)
-        self.mlump_hat = jnp.asarray(sp.rs.Mlump_hat, dtype=self.dtype)
-        self.scat_v = build_scatter(sp.cell_p2, sp.n_p2)
-        self.scat_p = build_scatter(sp.cell_p1, sp.n_p1)
         self.bc: DirichletBC = build_dirichlet(sp, self.inlet,
                                                dtype=self.dtype)
+
+        # abs-lumped mass per node (host precompute; reference cpp:232-236)
+        from navierstokes_tpu.ops.assembly import geometric_factors
+        detj, _ = geometric_factors(sp)
+        rows = np.einsum("c,a->ca", detj, sp.rs.Mlump_hat)
+        lm = np.zeros(sp.n_p2)
+        np.add.at(lm, np.asarray(sp.cell_p2).reshape(-1), rows.reshape(-1))
+        self._lumped_host = lm
+
+        # distribution: shard cells over the device mesh when requested
+        n_dev = cfg.n_devices if cfg.n_devices > 0 else 1
+        if n_dev > 1:
+            self.shard_mesh = device_mesh(n_dev)
+            self.cells, self.scat_v, self.scat_p, _ = shard_problem(
+                self.cells, sp, self.shard_mesh, self.dtype)
+            self._ops = ShardedOps(self.shard_mesh)
+        else:
+            self.shard_mesh = None
+            self.scat_v = build_scatter(sp.cell_p2, sp.n_p2)
+            self.scat_p = build_scatter(sp.cell_p1, sp.n_p1)
+            self._ops = SingleDeviceOps()
 
         # boundary-face data
         tags = set(self.mesh.boundary_tags.tolist())
@@ -153,8 +191,8 @@ class NavierStokes:
         dt/lumped-mass vector (for aYosida)."""
         dt = self.config.deltat
         self.a0_cell = self.cells.mass / dt + self.nu * self.cells.stiff
-        lm = lumped_mass(self.cells, self.mlump_hat, self.scat_v)
-        self.dt_mlump_inv = (dt / lm)[:, None]
+        self.dt_mlump_inv = jnp.asarray(
+            (dt / self._lumped_host)[:, None], self.dtype)
         self._chunks = {}  # operators changed -> invalidate compiled chunks
 
     # ------------------------------------------------------------------
@@ -166,21 +204,32 @@ class NavierStokes:
             return jnp.sin(jnp.pi * t / self.inlet.period)
         return jnp.asarray(1.0, self.dtype)
 
-    def _step_fn(self, u, p, t_prev):
+    def _params(self) -> StepParams:
+        return StepParams(cells=self.cells, a0_cell=self.a0_cell,
+                          t_hat=self.t_hat, bc=self.bc,
+                          rhs_neumann=self.rhs_neumann,
+                          dt_mlump_inv=self.dt_mlump_inv,
+                          nu=jnp.asarray(self.nu, self.dtype),
+                          u_mean0=jnp.asarray(
+                              self.inlet.steady_mean_velocity(), self.dtype),
+                          scat_v=self.scat_v, scat_p=self.scat_p,
+                          faces_obst=self.faces_obst)
+
+    def _step_fn(self, params: StepParams, u, p, t_prev):
         """One semi-implicit step: returns (u_new, p_new, metrics)."""
         cfg = self.config
-        cells, bc = self.cells, self.bc
-        scat_v, scat_p = self.scat_v, self.scat_p
+        ops = self._ops
+        bc = params.bc
         mask = bc.mask                                  # (n_p2, 1)
         dt = cfg.deltat
         t_new = t_prev + dt
 
         # ---- assemble (cpp:133-330): static + convection ----
-        conv = convection_matrices(cells, self.t_hat, u)
-        f_cell = self.a0_cell + conv
+        conv = ops.convection(params, u)
+        f_cell = params.a0_cell + conv
 
         # diag of F + conditioning scale sigma for constrained rows
-        d = f_diag(cells, f_cell, self.scat_v)          # (n_p2,)
+        d = ops.f_diag(params, f_cell)                  # (n_p2,)
         mflat = mask[:, 0]
         sigma = jnp.sum(d * mflat) / jnp.maximum(jnp.sum(mflat), 1.0)
         d_bc = d * mflat + sigma * (1.0 - mflat)
@@ -190,7 +239,7 @@ class NavierStokes:
         def apply_A(x):
             xu, xp = x
             xum = xu * mask
-            yu, yp = apply_blocks(cells, f_cell, scat_v, scat_p, xum, xp)
+            yu, yp = ops.apply_blocks(params, f_cell, xum, xp)
             yu = yu * mask + sigma * (xu - xum)
             return yu, yp
 
@@ -198,26 +247,25 @@ class NavierStokes:
 
         def apply_F(xu):
             xum = xu * mask
-            yu, _ = apply_blocks(cells, f_cell, scat_v, scat_p, xum, zero_p,
-                                 with_g=False, with_gt=False)
+            yu, _ = ops.apply_blocks(params, f_cell, xum, zero_p,
+                                     with_g=False, with_gt=False)
             return yu * mask + sigma * (xu - xum)
 
         def apply_B(xu):
-            _, yp = apply_blocks(cells, f_cell, scat_v, scat_p, xu * mask,
-                                 zero_p, with_f=False, with_g=False)
+            _, yp = ops.apply_blocks(params, f_cell, xu * mask, zero_p,
+                                     with_f=False, with_g=False)
             return yp
 
         def apply_Bt(xp):
-            yu, _ = apply_blocks(cells, f_cell, scat_v, scat_p,
-                                 jnp.zeros_like(u), xp,
-                                 with_f=False, with_gt=False)
+            yu, _ = ops.apply_blocks(params, f_cell, jnp.zeros_like(u), xp,
+                                     with_f=False, with_gt=False)
             return yu * mask
 
         # ---- RHS (cpp:240-278): M u^n/dt + forcing + Neumann, lifted ----
         factor = self._time_factor(t_new).astype(self.dtype)
         g = bc.lift(factor)                             # lifted Dirichlet
-        b_u = mass_apply(cells, scat_v, u) / dt + self.rhs_neumann
-        ag_u, ag_p = apply_blocks(cells, f_cell, scat_v, scat_p, g, zero_p)
+        b_u = ops.mass_apply(params, u) / dt + params.rhs_neumann
+        ag_u, ag_p = ops.apply_blocks(params, f_cell, g, zero_p)
         b_u = (b_u - ag_u) * mask + sigma * g
         b_p = -ag_p
 
@@ -225,14 +273,14 @@ class NavierStokes:
         inner_f = InnerSolve(cfg.inner_tol, cfg.inner_maxiter_f)
         inner_s = InnerSolve(cfg.inner_tol, cfg.inner_maxiter_s)
         if cfg.preconditioner == "asimple":
-            diag_s = schur_diag(cells, dinv[:, 0] * mflat, self.scat_p)
+            diag_s = ops.schur_diag(params, dinv[:, 0] * mflat)
             M = make_asimple(apply_F, apply_B, apply_Bt, dinv, diag_s,
                              cfg.alpha, inner_f, inner_s)
         elif cfg.preconditioner == "ayosida":
-            w = self.dt_mlump_inv[:, 0] * mflat
-            diag_s = schur_diag(cells, w, self.scat_p)
+            w = params.dt_mlump_inv[:, 0] * mflat
+            diag_s = ops.schur_diag(params, w)
             M = make_ayosida(apply_F, apply_B, apply_Bt, dinv,
-                             self.dt_mlump_inv, diag_s, inner_f, inner_s)
+                             params.dt_mlump_inv, diag_s, inner_f, inner_s)
         else:
             M = make_identity()
 
@@ -247,10 +295,10 @@ class NavierStokes:
         u_new = u_new * mask + g   # exact boundary values
 
         # ---- forces (cpp:831-929) ----
-        if self.faces_obst is not None:
-            drag, lift = drag_lift(self.faces_obst, u_new, p_new, self.nu)
-            u_mean = (self.inlet.steady_mean_velocity()
-                      * self._time_factor(t_new))
+        if params.faces_obst is not None:
+            drag, lift = drag_lift(params.faces_obst, u_new, p_new,
+                                   params.nu)
+            u_mean = params.u_mean0 * self._time_factor(t_new)
             cd, cl = force_coefficients(drag, lift, u_mean,
                                         cfg.ref_length, self.dim,
                                         cfg.span_3d)
@@ -263,19 +311,22 @@ class NavierStokes:
         return u_new, p_new, t_new, metrics
 
     def _chunk_fn(self, n_steps: int):
-        """Compiled scan over n_steps time steps."""
+        """Compiled scan over n_steps time steps.  All mesh/operator data
+        flows in through the params pytree argument — the compiled program
+        is value-independent, so XLA's persistent cache can reuse it across
+        scenarios and instances with the same mesh shapes."""
         if n_steps not in self._chunks:
-            def run(u, p, t0):
+            def run(params, u, p, t0):
                 def body(carry, _):
                     u, p, t = carry
-                    u, p, t, m = self._step_fn(u, p, t)
+                    u, p, t, m = self._step_fn(params, u, p, t)
                     return (u, p, t), m
 
                 (u, p, t), ms = jax.lax.scan(body, (u, p, t0), None,
                                              length=n_steps)
                 return u, p, t, ms
 
-            self._chunks[n_steps] = jax.jit(run, donate_argnums=(0, 1))
+            self._chunks[n_steps] = jax.jit(run, donate_argnums=(1, 2))
         return self._chunks[n_steps]
 
     # ------------------------------------------------------------------
@@ -290,11 +341,11 @@ class NavierStokes:
 
     def solve_time_step(self):
         """Advance exactly one step (parity with cpp:344-397)."""
-        u, p, t, m = jax.jit(self._step_fn)(self._u, self._p,
-                                            jnp.asarray(self.time,
-                                                        self.dtype))
-        self._u, self._p = u, p
+        run = self._chunk_fn(1)
+        self._u, self._p, t, ms = run(self._params(), self._u, self._p,
+                                      jnp.asarray(self.time, self.dtype))
         self.time = float(t)
+        m = jax.tree.map(lambda a: np.asarray(a)[0], ms)
         self._record(m)
         return m
 
@@ -331,6 +382,7 @@ class NavierStokes:
         out_every = cfg.output_step
 
         csv = ForcesCsv(csv_path or cfg.csv_path)
+        params = self._params()
         ts = time_step
         done = 0
         while done < n_total:
@@ -339,7 +391,7 @@ class NavierStokes:
             run = self._chunk_fn(k)
             t0 = _walltime.perf_counter()
             self._u, self._p, t_dev, ms = run(
-                self._u, self._p, jnp.asarray(self.time, self.dtype))
+                params, self._u, self._p, jnp.asarray(self.time, self.dtype))
             ms = jax.tree.map(np.asarray, ms)
             wall = _walltime.perf_counter() - t0
             self.time = float(t_dev)

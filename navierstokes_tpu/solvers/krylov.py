@@ -152,8 +152,10 @@ def gmres(matvec: Callable, b, x0=None, *, tol=1e-6, atol=0.0,
         x, iters, _res, _conv = state
         return cycle(x, iters)
 
-    # run at least one cycle (also handles b = 0 gracefully)
-    state0 = cycle(x0_flat, jnp.array(0, jnp.int32))
+    # the cycle body is traced exactly once (inside the while); the first
+    # iteration always runs because the initial "residual" is +inf
+    state0 = (x0_flat, jnp.array(0, jnp.int32),
+              jnp.array(jnp.inf, dtype), jnp.array(False))
     x, iters, res, conv = jax.lax.while_loop(outer_cond, outer_body, state0)
     return KrylovResult(unravel(x), iters, res, conv)
 

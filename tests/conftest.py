@@ -15,3 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# Persistent XLA compilation cache: the solver programs are large (nested
+# Krylov while-loops); caching makes repeated test runs and multi-instance
+# tests cheap.  Programs are value-independent (StepParams as arguments).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_nstpu_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,115 @@
+"""End-to-end integration tests: short cylinder-channel runs, checkpoint
+restart equivalence, csv/VTU artifacts (the automated version of the
+reference's run-and-eyeball validation, SURVEY.md par.4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from navierstokes_tpu.config import InletConfig, SolverConfig
+from navierstokes_tpu.mesh import channel_with_cylinder_2d
+from navierstokes_tpu.models.navier_stokes import NavierStokes
+
+
+@pytest.fixture(scope="module")
+def coarse_mesh():
+    return channel_with_cylinder_2d(h=0.1, h_near=0.04)
+
+
+def _make(mesh, tmp, T=0.03, step=3, **cfg_kw):
+    inlet = InletConfig(kind="parabolic", u_m=0.3, height=0.41)
+    cfg = SolverConfig(dtype="float64", output_dir=os.path.join(tmp, "out"),
+                       cache_dir=os.path.join(tmp, "cache"),
+                       csv_path=os.path.join(tmp, "forces.csv"), **cfg_kw)
+    ns = NavierStokes(mesh, 2, 1, deltat=0.01, T=T, step=step, inlet=inlet,
+                      config=cfg)
+    ns.set_re_number(20)
+    return ns
+
+
+def test_short_run_artifacts(coarse_mesh, tmp_path):
+    ns = _make(coarse_mesh, str(tmp_path)).setup()
+    ns.solve()
+    # csv with the reference schema
+    with open(ns.config.csv_path) as f:
+        header = f.readline().strip()
+        rows = f.readlines()
+    assert header == ("time,deltat,GMRES_iters,time_prec_init,time_sol,"
+                      "Drag,Lift,Cd,Cl")
+    assert len(rows) == 3
+    # VTU + PVTU written at the output step
+    assert os.path.exists(os.path.join(ns.config.output_dir,
+                                       "output-stokes_000003.vtu"))
+    assert os.path.exists(os.path.join(ns.config.output_dir,
+                                       "output-stokes_000003.pvtu"))
+    # checkpoints at 0 and 3
+    assert os.path.exists(os.path.join(ns.config.cache_dir,
+                                       "state-ns-0.npz"))
+    assert os.path.exists(os.path.join(ns.config.cache_dir,
+                                       "state-ns-3.npz"))
+    # physics sanity: positive drag on the cylinder, converged solves
+    assert ns.cd > 0
+    vals = np.array([r.split(",") for r in rows], dtype=float)
+    assert (vals[:, 2] < 100).all()  # GMRES_iters well below cap
+    # velocity satisfies the inlet BC
+    u = np.asarray(ns._u)
+    inlet_nodes = ns.space.p2_nodes_on_tag(3)
+    y = ns.space.p2_coords[inlet_nodes, 1]
+    expect = 4 * 0.3 * y * (0.41 - y) / 0.41 ** 2
+    np.testing.assert_allclose(u[inlet_nodes, 0], expect, atol=1e-9)
+    np.testing.assert_allclose(u[inlet_nodes, 1], 0.0, atol=1e-9)
+    # no-slip on the obstacle
+    obst = ns.space.p2_nodes_on_tag(4)
+    np.testing.assert_allclose(u[obst], 0.0, atol=1e-9)
+
+
+def test_restart_equivalence(coarse_mesh, tmp_path):
+    """A run restarted from a checkpoint reproduces the continuous run —
+    the capability the reference's rank-independent DoF ordering exists to
+    provide (src/NavierStokes.cpp:571-784)."""
+    ns1 = _make(coarse_mesh, str(tmp_path / "a"), T=0.04, step=2).setup()
+    ns1.solve()
+    u_ref, p_ref = np.asarray(ns1._u), np.asarray(ns1._p)
+
+    ns2 = _make(coarse_mesh, str(tmp_path / "b"), T=0.04, step=2).setup()
+    ns2.solve()  # writes checkpoint at ts=2
+    ns3 = _make(coarse_mesh, str(tmp_path / "b"), T=0.04, step=2).setup()
+    ns3.solve(time_step=2)  # restart from ts=2, run to ts=4
+    np.testing.assert_allclose(np.asarray(ns3._u), u_ref, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ns3._p), p_ref, atol=1e-12)
+
+
+def test_post_process_replay(coarse_mesh, tmp_path):
+    """post_process re-derives forces from checkpoints without re-solving
+    (parity with src/postprocess.cpp + cpp:808-828)."""
+    ns = _make(coarse_mesh, str(tmp_path), T=0.04, step=2).setup()
+    ns.solve()
+    cd_live, cl_live = ns.cd, ns.cl
+    results = ns.post_process(0, 4, 2)
+    assert [r[0] for r in results] == [0, 2, 4]
+    # forces recomputed from the final checkpoint match the live run
+    np.testing.assert_allclose(results[-1][2], cd_live, rtol=1e-10)
+    np.testing.assert_allclose(results[-1][3], cl_live, rtol=1e-10)
+
+
+def test_pulsating_inlet(coarse_mesh, tmp_path):
+    """test_03-style scenario: inlet scaled by sin(pi t / 8)
+    (tests/2D/test_03/src/test_03.cpp:24-26)."""
+    inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41,
+                        pulsating=True, period=8.0)
+    cfg = SolverConfig(dtype="float64",
+                       output_dir=str(tmp_path / "out"),
+                       cache_dir=str(tmp_path / "cache"),
+                       csv_path=str(tmp_path / "forces.csv"))
+    ns = NavierStokes(coarse_mesh, 2, 1, deltat=0.01, T=0.02, step=2,
+                      inlet=inlet, config=cfg)
+    ns.set_re_number(100)
+    ns.setup()
+    ns.solve()
+    u = np.asarray(ns._u)
+    inlet_nodes = ns.space.p2_nodes_on_tag(3)
+    y = ns.space.p2_coords[inlet_nodes, 1]
+    expect = (4 * 1.5 * y * (0.41 - y) / 0.41 ** 2
+              * np.sin(np.pi * 0.02 / 8.0))
+    np.testing.assert_allclose(u[inlet_nodes, 0], expect, atol=1e-9)
