@@ -1,0 +1,110 @@
+"""Headline benchmark: timesteps/sec at ~1M DoF, 2D cylinder Re=100.
+
+Metric definition (BASELINE.md north star): sustained semi-implicit time
+steps per second of the flagship NavierStokes model on the Schaefer-Turek
+2D-2 scenario (Re=100, parabolic inlet U_m=1.5) at ~1M Taylor-Hood DoFs,
+single TPU chip, fp32, outer tolerance 1e-6*||rhs|| — the same per-step
+work the reference performs (assemble + GMRES/aSIMPLE + forces,
+src/NavierStokes.cpp:475-496).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md).  We compare
+against an estimated 0.125 steps/s for the deal.II/Trilinos reference at
+1M DoF on a single modern CPU node (monolithic GMRES + ILU-preconditioned
+aSIMPLE at rtol 1e-6 typically costs ~5-10 s/step at this size).  The >=10x
+target therefore corresponds to >=1.25 steps/s here.
+
+Prints ONE JSON line on stdout; progress goes to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+DEALII_BASELINE_STEPS_PER_SEC = 0.125
+TARGET_DOFS = 1.0e6
+WARMUP_STEPS = 10
+MEASURE_STEPS = 20
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_mesh():
+    """~1M DoF cylinder-channel mesh, cached on disk."""
+    import numpy as np
+
+    from navierstokes_tpu.mesh import channel_with_cylinder_2d
+    from navierstokes_tpu.mesh.geometry import Mesh
+
+    cache = os.path.join(os.path.dirname(__file__), ".bench_mesh.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return Mesh(2, z["points"], z["cells"], z["bfaces"], z["btags"])
+    h = 0.0031
+    log(f"generating bench mesh (h={h}) ...")
+    t0 = time.time()
+    mesh = channel_with_cylinder_2d(h=h, h_near=h / 2)
+    log(f"mesh: {mesh.n_cells} cells in {time.time() - t0:.1f}s")
+    np.savez(cache, points=mesh.points, cells=mesh.cells,
+             bfaces=mesh.boundary_faces, btags=mesh.boundary_tags)
+    return mesh
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_nstpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from navierstokes_tpu.config import InletConfig, SolverConfig
+    from navierstokes_tpu.models.navier_stokes import NavierStokes
+
+    mesh = build_mesh()
+    inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41)
+    cfg = SolverConfig(dtype="float32", output_dir="/tmp/bench_out",
+                       cache_dir="/tmp/bench_cache",
+                       csv_path="/tmp/bench_forces.csv")
+    ns = NavierStokes(mesh, 2, 1, deltat=0.02, T=1.0, step=10, inlet=inlet,
+                      config=cfg)
+    ns.set_re_number(100)
+    log("setup ...")
+    ns.setup()
+    n_dofs = ns.space.n_dofs
+    log(f"DoFs: {n_dofs}")
+    ns._init_state(0)
+    params = ns._params()
+
+    run = ns._chunk_fn(WARMUP_STEPS)
+    log("compiling + warmup ...")
+    t0 = time.time()
+    u, p, t, ms = run(params, ns._u, ns._p, jnp.asarray(0.0, ns.dtype))
+    jax.block_until_ready((u, p))
+    log(f"warmup ({WARMUP_STEPS} steps incl. compile): {time.time() - t0:.1f}s; "
+        f"iters/step = {[int(i) for i in ms.iterations]}")
+
+    run_m = ns._chunk_fn(MEASURE_STEPS)
+    t0 = time.time()
+    u, p, t, ms = run_m(params, u, p, t)
+    jax.block_until_ready((u, p))
+    wall = time.time() - t0
+    steps_per_sec = MEASURE_STEPS / wall
+    log(f"measured: {MEASURE_STEPS} steps in {wall:.2f}s -> "
+        f"{steps_per_sec:.3f} steps/s; mean outer iters "
+        f"{float(sum(int(i) for i in ms.iterations)) / MEASURE_STEPS:.1f}; "
+        f"Cd={float(ms.cd[-1]):.4f} Cl={float(ms.cl[-1]):.4f}")
+
+    print(json.dumps({
+        "metric": f"timesteps/sec, 2D cylinder Re=100, {n_dofs} DoF, fp32, "
+                  "1 chip",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / DEALII_BASELINE_STEPS_PER_SEC,
+                             2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

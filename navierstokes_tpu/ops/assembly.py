@@ -93,6 +93,30 @@ def build_cell_arrays(space: TaylorHoodSpace, dtype=jnp.float32) -> CellArrays:
     )
 
 
+def forcing_rhs(space: TaylorHoodSpace, f_fn, t: float = 0.0) -> np.ndarray:
+    """Host-side forcing assembly: r[(a,d)] = int f_d(x, t) phi_a dx.
+
+    The reference's ForcingTerm is identically zero (src/NavierStokes.hpp:
+    56-65; forcing integrand at cpp:240-243) but the hook is first-class
+    here: ``f_fn(points (n, dim), t) -> (n, dim)``.  Returns (n_p2, dim)
+    float64 (cast at use site)."""
+    rs = space.rs
+    mesh = space.mesh
+    detj, _ = geometric_factors(space)
+    verts = mesh.points[mesh.cells]                    # (nc, dim+1, dim)
+    # physical quad points: x = v0 + J qp  (affine)
+    qp = rs.qp                                         # (n_q, dim)
+    lam0 = 1.0 - qp.sum(axis=1)
+    bary = np.concatenate([lam0[:, None], qp], axis=1)  # (n_q, dim+1)
+    xq = np.einsum("qk,ckd->cqd", bary, verts)          # (nc, n_q, dim)
+    fq = f_fn(xq.reshape(-1, mesh.dim), t).reshape(xq.shape)
+    r_c = np.einsum("q,qa,cqd,c->cad", rs.qw, rs.phi_v, fq, detj)
+    out = np.zeros((space.n_p2, mesh.dim))
+    np.add.at(out, np.asarray(space.cell_p2).reshape(-1),
+              r_c.reshape(-1, mesh.dim))
+    return out
+
+
 def build_face_arrays(space: TaylorHoodSpace, tag: int,
                       dtype=jnp.float32) -> FaceArrays:
     fd: FaceData = space.face_data(tag)
