@@ -66,14 +66,26 @@ class TaylorHoodSpace:
         self.rs = ReferenceSimplex(self.dim, degree_velocity, degree_pressure)
 
         # ---- unique edges & P2 numbering --------------------------------
+        # (native C++ meshkit when available, numpy fallback — identical
+        # ordering: unique edge keys ascending)
         edges = np.array(edges_of(self.dim), dtype=np.int64)
+        from navierstokes_tpu import native
+        nat = native.unique_edges(mesh.cells, edges, mesh.n_points)
         cells = mesh.cells.astype(np.int64)
-        ca = cells[:, edges[:, 0]]                      # (nc, n_edges_local)
-        cb = cells[:, edges[:, 1]]
-        keys = _encode_pairs(ca, cb, mesh.n_points).ravel()
-        uniq, inverse = np.unique(keys, return_inverse=True)
-        self.n_edges = len(uniq)
-        cell_edges = inverse.reshape(ca.shape)          # local edge -> global
+        if nat is not None:
+            cell_edges, edge_verts = nat
+            self.n_edges = edge_verts.shape[0]
+            uniq = _encode_pairs(edge_verts[:, 0].astype(np.int64),
+                                 edge_verts[:, 1].astype(np.int64),
+                                 mesh.n_points)
+        else:
+            ca = cells[:, edges[:, 0]]                  # (nc, n_edges_local)
+            cb = cells[:, edges[:, 1]]
+            keys = _encode_pairs(ca, cb, mesh.n_points).ravel()
+            uniq, inverse = np.unique(keys, return_inverse=True)
+            self.n_edges = len(uniq)
+            cell_edges = inverse.reshape(
+                (mesh.n_cells, edges.shape[0]))         # local -> global
 
         self.n_p1 = mesh.n_points
         self.n_p2 = mesh.n_points + self.n_edges

@@ -83,6 +83,12 @@ class Mesh:
 
         Returns (faces (n, dim) int32, cell_ids (n,) int32, local_facet (n,)).
         """
+        from navierstokes_tpu import native
+        nat = native.boundary_facets(self.cells,
+                                     np.array(facets_of(self.dim)))
+        if nat is not None:
+            return nat
+
         facets = np.array(facets_of(self.dim), dtype=np.int64)
         nf = facets.shape[0]
         # all facets of all cells: (n_cells * nf, dim)

@@ -40,9 +40,15 @@ class Scatter:
 
 def build_scatter(ids: np.ndarray, num_segments: int) -> Scatter:
     flat = np.asarray(ids).reshape(-1)
-    order = np.argsort(flat, kind="stable")
-    return Scatter(order=jnp.asarray(order.astype(np.int32)),
-                   sorted_ids=jnp.asarray(flat[order].astype(np.int32)),
+    from navierstokes_tpu import native
+    nat = native.scatter_plan(flat)
+    if nat is not None:
+        order, sorted_ids = nat
+    else:
+        order = np.argsort(flat, kind="stable").astype(np.int32)
+        sorted_ids = flat[order].astype(np.int32)
+    return Scatter(order=jnp.asarray(order),
+                   sorted_ids=jnp.asarray(sorted_ids),
                    num_segments=int(num_segments))
 
 
@@ -91,6 +97,15 @@ def apply_blocks(cells: CellArrays, f_cell: jax.Array,
         yp = scat_p(yp_c.reshape(nc * yp_c.shape[1]))
     else:
         yp = jnp.zeros_like(xp)
+
+    # Layout pin: when this operator feeds a lax.while_loop carry (every
+    # Krylov matvec does), the gather->scatter chain otherwise sends XLA's
+    # TPU layout assignment into a pathological (>10 min at ~10^5 cells)
+    # negotiation between the gather-preferred and scatter-preferred layouts
+    # of the carried vector.  Mixing the input back in (exact no-op) anchors
+    # the output to the input layout; compile time drops to seconds.
+    yu = yu + 0.0 * xu
+    yp = yp + 0.0 * xp
     return yu, yp
 
 
