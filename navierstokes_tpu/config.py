@@ -122,7 +122,7 @@ class SolverConfig:
     # Outer Krylov (src/NavierStokes.cpp:344-397)
     outer_tol: float = 1.0e-6     # relative to ||rhs||
     outer_maxiter: int = 200      # reference allows 10000; aSIMPLE needs ~10-40
-    outer_restart: int = 50
+    outer_restart: int = 30       # deal.II SolverGMRES default basis ~30
     preconditioner: str = "asimple"  # identity | asimple | ayosida
     alpha: float = 0.5            # aSIMPLE damping (src/NavierStokes.hpp:306)
 
@@ -135,6 +135,11 @@ class SolverConfig:
 
     # Numerics
     dtype: str = "float32"        # compute dtype on device
+    # Operator realization: "ell" assembles the node-coupling graph once per
+    # step and runs matvecs as one gather + FMA (fast path, single-device);
+    # "cells" re-scatters element contributions on every matvec (reference
+    # formulation; used by the sharded path).
+    operator: str = "ell"
     # Time loop chunking: how many time steps run inside one jitted scan call.
     steps_per_chunk: int = 0      # 0 => use output_step
 

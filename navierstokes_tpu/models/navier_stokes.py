@@ -140,28 +140,37 @@ class NavierStokes:
         print(f"DoFs: velocity {sp.n_velocity_dofs} + pressure "
               f"{sp.n_pressure_dofs} = {sp.n_dofs}")
 
-        self.cells = build_cell_arrays(sp, dtype=self.dtype)
+        from navierstokes_tpu.ops.assembly import cell_arrays_numpy
+        cells_host = cell_arrays_numpy(sp)
+        self.cells = build_cell_arrays(sp, dtype=self.dtype, host=cells_host)
         self.t_hat = jnp.asarray(sp.rs.T_hat, dtype=self.dtype)
         self.bc: DirichletBC = build_dirichlet(sp, self.inlet,
                                                dtype=self.dtype)
 
         # abs-lumped mass per node (host precompute; reference cpp:232-236)
-        from navierstokes_tpu.ops.assembly import geometric_factors
-        detj, _ = geometric_factors(sp)
-        rows = np.einsum("c,a->ca", detj, sp.rs.Mlump_hat)
+        rows = np.einsum("c,a->ca", cells_host.detj, sp.rs.Mlump_hat)
         lm = np.zeros(sp.n_p2)
         np.add.at(lm, np.asarray(sp.cell_p2).reshape(-1), rows.reshape(-1))
         self._lumped_host = lm
 
         # distribution: shard cells over the device mesh when requested
         n_dev = cfg.n_devices if cfg.n_devices > 0 else 1
+        self.scat_v = self.scat_p = None
         if n_dev > 1:
             self.shard_mesh = device_mesh(n_dev)
+            self._operator = "cells"
             self.cells, self.scat_v, self.scat_p, _ = shard_problem(
                 self.cells, sp, self.shard_mesh, self.dtype)
             self._ops = ShardedOps(self.shard_mesh)
+        elif cfg.operator == "ell":
+            from navierstokes_tpu.ops.ell import EllOps, build_ell
+            self.shard_mesh = None
+            self._operator = "ell"
+            self.ell = build_ell(sp, cells_host, dtype=self.dtype)
+            self._ops = EllOps()
         else:
             self.shard_mesh = None
+            self._operator = "cells"
             self.scat_v = build_scatter(sp.cell_p2, sp.n_p2)
             self.scat_p = build_scatter(sp.cell_p1, sp.n_p1)
             self._ops = SingleDeviceOps()
@@ -187,10 +196,13 @@ class NavierStokes:
         return self
 
     def _build_static(self):
-        """nu/dt-dependent static per-cell operator A0 = M/dt + nu K and the
-        dt/lumped-mass vector (for aYosida)."""
+        """nu/dt-dependent static operator A0 = M/dt + nu K (element or
+        graph format) and the dt/lumped-mass vector (for aYosida)."""
         dt = self.config.deltat
-        self.a0_cell = self.cells.mass / dt + self.nu * self.cells.stiff
+        if getattr(self, "_operator", "cells") == "ell":
+            self.a0_cell = self.ell.m_vals / dt + self.nu * self.ell.k_vals
+        else:
+            self.a0_cell = self.cells.mass / dt + self.nu * self.cells.stiff
         self.dt_mlump_inv = jnp.asarray(
             (dt / self._lumped_host)[:, None], self.dtype)
         self._chunks = {}  # operators changed -> invalidate compiled chunks
@@ -205,7 +217,8 @@ class NavierStokes:
         return jnp.asarray(1.0, self.dtype)
 
     def _params(self) -> StepParams:
-        return StepParams(cells=self.cells, a0_cell=self.a0_cell,
+        opdata = self.ell if self._operator == "ell" else self.cells
+        return StepParams(cells=opdata, a0_cell=self.a0_cell,
                           t_hat=self.t_hat, bc=self.bc,
                           rhs_neumann=self.rhs_neumann,
                           dt_mlump_inv=self.dt_mlump_inv,
@@ -334,10 +347,12 @@ class NavierStokes:
     # ------------------------------------------------------------------
 
     def assemble(self, time: float):
-        """Expose the assembled per-cell operator at a given time (testing /
-        introspection parity with cpp:133-330)."""
-        conv = convection_matrices(self.cells, self.t_hat, self._u)
-        return self.a0_cell + conv
+        """Expose the assembled operator at a given time (testing /
+        introspection parity with cpp:133-330).  Format depends on the
+        operator realization: per-cell element matrices ('cells') or
+        node-graph ELL values ('ell')."""
+        params = self._params()
+        return params.a0_cell + self._ops.convection(params, self._u)
 
     def solve_time_step(self):
         """Advance exactly one step (parity with cpp:344-397)."""

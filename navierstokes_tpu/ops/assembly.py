@@ -73,7 +73,8 @@ def geometric_factors(space: TaylorHoodSpace):
     return detj, jinv
 
 
-def build_cell_arrays(space: TaylorHoodSpace, dtype=jnp.float32) -> CellArrays:
+def cell_arrays_numpy(space: TaylorHoodSpace) -> CellArrays:
+    """Host (numpy, float64) per-cell arrays — the preprocessing product."""
     rs = space.rs
     detj, jinv = geometric_factors(space)
 
@@ -83,13 +84,20 @@ def build_cell_arrays(space: TaylorHoodSpace, dtype=jnp.float32) -> CellArrays:
     mass = detj[:, None, None] * rs.M_hat[None, :, :]
     # G[c,a,d,j] = -detJ * G_hat[a,x,j] Jinv[c,x,d]
     grad = -np.einsum("axj,cxd,c->cadj", rs.G_hat, jinv, detj)
+    return CellArrays(cell_p2=space.cell_p2, cell_p1=space.cell_p1,
+                      detj=detj, jinv=jinv, mass=mass, stiff=stiff,
+                      grad=grad)
 
+
+def build_cell_arrays(space: TaylorHoodSpace, dtype=jnp.float32,
+                      host: CellArrays | None = None) -> CellArrays:
+    c = host or cell_arrays_numpy(space)
     f = lambda x: jnp.asarray(x, dtype=dtype)
     return CellArrays(
-        cell_p2=jnp.asarray(space.cell_p2),
-        cell_p1=jnp.asarray(space.cell_p1),
-        detj=f(detj), jinv=f(jinv), mass=f(mass), stiff=f(stiff),
-        grad=f(grad),
+        cell_p2=jnp.asarray(np.asarray(c.cell_p2)),
+        cell_p1=jnp.asarray(np.asarray(c.cell_p1)),
+        detj=f(c.detj), jinv=f(c.jinv), mass=f(c.mass), stiff=f(c.stiff),
+        grad=f(c.grad),
     )
 
 

@@ -163,6 +163,72 @@ def gmres(matvec: Callable, b, x0=None, *, tol=1e-6, atol=0.0,
 fgmres = functools.partial(gmres, flexible=True)
 
 
+def bicgstab(matvec: Callable, b, x0=None, *, tol=1e-6, atol=0.0,
+             maxiter=100, precond: Optional[Callable] = None) -> KrylovResult:
+    """Right-preconditioned BiCGStab.
+
+    Short-recurrence Krylov for nonsymmetric systems: carries ~7 vectors and
+    no Arnoldi basis, which keeps while-loop state small — used for the
+    aSIMPLE/aYosida inner solves where GMRES' (m+1, n) basis both wastes HBM
+    and (in nested loops) trips TPU runtime faults.  Two matvecs per
+    iteration; at the reference's loose 1e-2 inner tolerance
+    (src/NavierStokes.cpp:972-973) a handful of iterations suffice.
+    """
+    b_flat, unravel = ravel_pytree(b)
+    M = precond or _identity
+
+    def mv(v):
+        out, _ = ravel_pytree(matvec(unravel(v)))
+        return out
+
+    def pc(v):
+        out, _ = ravel_pytree(M(unravel(v)))
+        return out
+
+    x = jnp.zeros_like(b_flat) if x0 is None else ravel_pytree(x0)[0]
+    r = b_flat - mv(x)
+    r0 = r  # shadow residual
+    dtype = b_flat.dtype
+    target = jnp.maximum(tol * jnp.linalg.norm(b_flat), atol).astype(dtype)
+    one = jnp.ones((), dtype)
+    rho = alpha = omega = one
+    v = jnp.zeros_like(b_flat)
+    p = jnp.zeros_like(b_flat)
+    eps = jnp.asarray(1e-30, dtype)
+
+    def cond(state):
+        x, r, *_rest, k, stag = state
+        return jnp.logical_and(jnp.linalg.norm(r) > target,
+                               jnp.logical_and(k < maxiter, ~stag))
+
+    def body(state):
+        x, r, rho, alpha, omega, v, p, k, _stag = state
+        rho_new = r0 @ r
+        beta = (rho_new / jnp.where(jnp.abs(rho) > eps, rho, eps)) * \
+               (alpha / jnp.where(jnp.abs(omega) > eps, omega, eps))
+        p = r + beta * (p - omega * v)
+        phat = pc(p)
+        v = mv(phat)
+        denom = r0 @ v
+        alpha = rho_new / jnp.where(jnp.abs(denom) > eps, denom, eps)
+        s = r - alpha * v
+        shat = pc(s)
+        t = mv(shat)
+        tt = t @ t
+        omega = (t @ s) / jnp.where(tt > eps, tt, eps)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        # breakdown guard: stagnate-flag stops the loop cleanly
+        stag = jnp.logical_or(jnp.abs(rho_new) <= eps, jnp.abs(denom) <= eps)
+        return x, r, rho_new, alpha, omega, v, p, k + 1, stag
+
+    state = (x, r, rho, alpha, omega, v, p, jnp.array(0, jnp.int32),
+             jnp.array(False))
+    x, r, *_rest, k, _stag = jax.lax.while_loop(cond, body, state)
+    res = jnp.linalg.norm(r)
+    return KrylovResult(unravel(x), k, res, res <= target)
+
+
 def cg(matvec: Callable, b, x0=None, *, tol=1e-6, atol=0.0, maxiter=100,
        precond: Optional[Callable] = None) -> KrylovResult:
     """Preconditioned conjugate gradient for SPD operators (test fixtures and

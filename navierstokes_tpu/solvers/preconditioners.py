@@ -25,17 +25,33 @@ from typing import Callable
 
 import jax.numpy as jnp
 
-from navierstokes_tpu.solvers.krylov import gmres
+from navierstokes_tpu.solvers.krylov import bicgstab, gmres
 
 
 @dataclasses.dataclass
 class InnerSolve:
+    """Inner solve policy: Jacobi-preconditioned BiCGStab.
+
+    The reference uses ILU-preconditioned GMRES at rtol 1e-2
+    (src/NavierStokes.cpp:972-989).  On TPU, ILU's sequential triangular
+    solves don't map to the hardware, and an Arnoldi basis carried through
+    the nested while loop (outer FGMRES body -> inner solver) both wastes
+    HBM and trips TPU runtime faults once it grows past tens of MB.
+    BiCGStab's short recurrence (~7 carried vectors, zero basis storage,
+    2 matvecs/iteration) is the TPU-shaped replacement; ``maxiter`` counts
+    matvec pairs, so the reference-equivalent budget is about half the
+    GMRES iteration count."""
     tol: float = 1.0e-2
     maxiter: int = 30
+    method: str = "bicgstab"  # bicgstab | gmres
 
     def __call__(self, apply_op: Callable, rhs, precond=None):
-        return gmres(apply_op, rhs, tol=self.tol, restart=self.maxiter,
-                     maxiter=self.maxiter, precond=precond).x
+        if self.method == "gmres":
+            return gmres(apply_op, rhs, tol=self.tol,
+                         restart=min(10, self.maxiter),
+                         maxiter=self.maxiter, precond=precond).x
+        return bicgstab(apply_op, rhs, tol=self.tol, maxiter=self.maxiter,
+                        precond=precond).x
 
 
 def make_identity():
