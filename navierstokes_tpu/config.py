@@ -135,11 +135,18 @@ class SolverConfig:
 
     # Numerics
     dtype: str = "float32"        # compute dtype on device
-    # Operator realization: "ell" assembles the node-coupling graph once per
-    # step and runs matvecs as one gather + FMA (fast path, single-device);
-    # "cells" re-scatters element contributions on every matvec (reference
-    # formulation; used by the sharded path).
-    operator: str = "ell"
+    # Operator realization:
+    #   "bsr"   — block-sparse-row over RCM-ordered node blocks: few wide
+    #             gathers + batched small matmuls per matvec, per-step
+    #             assembly via one presorted segment-sum (fastest; default)
+    #   "ell"   — per-node graph: one (n, K)-row gather per matvec
+    #   "cells" — element gather/scatter on every matvec (reference
+    #             formulation; used by the sharded path)
+    operator: str = "bsr"
+    bsr_block: int = 0            # 0 => auto (16 in 2D, 8 in 3D)
+    # Two-level Schur preconditioner: pressure BSR blocks per aggregate
+    # (solvers/schur.py).  Coarse size = n_p1 / (bp * this).
+    schur_agg_blocks: int = 4
     # Time loop chunking: how many time steps run inside one jitted scan call.
     steps_per_chunk: int = 0      # 0 => use output_step
 

@@ -58,8 +58,15 @@ class FaceData:
 
 
 class TaylorHoodSpace:
+    """``rcm=True`` renumbers the P2 (velocity) nodes by reverse
+    Cuthill-McKee over the node-coupling graph: vertices and edge-midpoints
+    interleave by spatial locality, which keeps the blocked operators'
+    neighbor-block counts small (ops/bsr.py).  The ordering remains a pure
+    deterministic function of the mesh, so checkpoints stay device-count
+    independent."""
+
     def __init__(self, mesh: Mesh, degree_velocity: int = 2,
-                 degree_pressure: int = 1):
+                 degree_pressure: int = 1, rcm: bool = True):
         mesh.ensure_positive_orientation()
         self.mesh = mesh
         self.dim = mesh.dim
@@ -104,9 +111,45 @@ class TaylorHoodSpace:
         mids = 0.5 * (mesh.points[ea] + mesh.points[eb])
         self.p2_coords = np.concatenate([mesh.points, mids], axis=0)
         self._edge_key_sorted = uniq  # sorted by construction (np.unique)
+        self._edge_verts = np.stack([ea, eb], axis=1)   # (n_edges, 2)
+
+        # node-id maps (identity unless RCM renumbering below)
+        self._vertex_node = np.arange(mesh.n_points, dtype=np.int64)
+        self._edge_node = mesh.n_points + np.arange(self.n_edges,
+                                                    dtype=np.int64)
+        if rcm:
+            self._rcm_p2()
 
         # boundary face -> (cell, local facet)
         self._bf_cells, self._bf_locals = mesh.match_boundary_faces()
+
+    def _rcm_p2(self):
+        """Morton-order the P2 nodes by their coordinates.
+
+        Vertices and edge midpoints interleave along the same space-filling
+        curve that orders the mesh vertices (mesh/geometry.py
+        reorder_spatial), so any contiguous block of P2 node ids is a
+        compact spatial patch AND stays aligned with the P1 (vertex)
+        numbering — both needed to keep the velocity-velocity and
+        pressure-velocity block graphs narrow (ops/bsr.py)."""
+        from navierstokes_tpu.mesh.geometry import morton_order
+        perm = morton_order(self.p2_coords).astype(np.int64)
+        inv = np.empty(self.n_p2, dtype=np.int64)
+        inv[perm] = np.arange(self.n_p2)
+        self.cell_p2 = inv[self.cell_p2.astype(np.int64)].astype(np.int32)
+        self.p2_coords = np.ascontiguousarray(self.p2_coords[perm])
+        self._vertex_node = inv[self._vertex_node]
+        self._edge_node = inv[self._edge_node]
+
+    def pressure_at_p2_nodes(self, p: np.ndarray) -> np.ndarray:
+        """Prolong a P1 (vertex) pressure field to all P2 nodes (exact for
+        P1): vertices keep values, edge midpoints average their endpoints.
+        Used for pointwise VTU output."""
+        out = np.zeros(self.n_p2, dtype=np.asarray(p).dtype)
+        out[self._vertex_node] = p
+        out[self._edge_node] = 0.5 * (p[self._edge_verts[:, 0]]
+                                      + p[self._edge_verts[:, 1]])
+        return out
 
     # ---- DoF queries -----------------------------------------------------
 
@@ -138,12 +181,12 @@ class TaylorHoodSpace:
         if len(faces) == 0:
             return np.zeros((0,), np.int64)
         faces = np.asarray(faces, np.int64)
-        nodes = [faces.ravel()]
+        nodes = [self._vertex_node[faces.ravel()]]
         d = faces.shape[1]
         for i in range(d):
             for j in range(i + 1, d):
-                nodes.append(self.mesh.n_points
-                             + self.edge_id(faces[:, i], faces[:, j]))
+                nodes.append(self._edge_node[
+                    self.edge_id(faces[:, i], faces[:, j])])
         return np.unique(np.concatenate(nodes))
 
     def p2_nodes_on_tag(self, tag: int) -> np.ndarray:

@@ -132,6 +132,8 @@ class NavierStokes:
             self.mesh = self._mesh_source
         else:
             self.mesh = read_msh(str(self._mesh_source))
+        # bandwidth-reducing node order keeps blocked operators compact
+        self.mesh.reorder_rcm()
         self.space = TaylorHoodSpace(self.mesh, self.degree_velocity,
                                      self.degree_pressure)
         sp = self.space
@@ -162,6 +164,17 @@ class NavierStokes:
             self.cells, self.scat_v, self.scat_p, _ = shard_problem(
                 self.cells, sp, self.shard_mesh, self.dtype)
             self._ops = ShardedOps(self.shard_mesh)
+        elif cfg.operator == "bsr":
+            from navierstokes_tpu.ops.bsr import BsrOps, build_bsr
+            from navierstokes_tpu.solvers.schur import build_coarse_plan
+            self.shard_mesh = None
+            self._operator = "bsr"
+            blk = cfg.bsr_block or None
+            self.ell = build_bsr(sp, cells_host, dtype=self.dtype,
+                                 bu=blk, bp=blk)
+            self._ops = BsrOps()
+            self._coarse_plan = build_coarse_plan(self.ell,
+                                                  cfg.schur_agg_blocks)
         elif cfg.operator == "ell":
             from navierstokes_tpu.ops.ell import EllOps, build_ell
             self.shard_mesh = None
@@ -199,8 +212,11 @@ class NavierStokes:
         """nu/dt-dependent static operator A0 = M/dt + nu K (element or
         graph format) and the dt/lumped-mass vector (for aYosida)."""
         dt = self.config.deltat
-        if getattr(self, "_operator", "cells") == "ell":
+        op = getattr(self, "_operator", "cells")
+        if op == "ell":
             self.a0_cell = self.ell.m_vals / dt + self.nu * self.ell.k_vals
+        elif op == "bsr":
+            self.a0_cell = self.ell.m_blk / dt + self.nu * self.ell.k_blk
         else:
             self.a0_cell = self.cells.mass / dt + self.nu * self.cells.stiff
         self.dt_mlump_inv = jnp.asarray(
@@ -217,7 +233,7 @@ class NavierStokes:
         return jnp.asarray(1.0, self.dtype)
 
     def _params(self) -> StepParams:
-        opdata = self.ell if self._operator == "ell" else self.cells
+        opdata = self.ell if self._operator in ("ell", "bsr") else self.cells
         return StepParams(cells=opdata, a0_cell=self.a0_cell,
                           t_hat=self.t_hat, bc=self.bc,
                           rhs_neumann=self.rhs_neumann,
@@ -285,15 +301,35 @@ class NavierStokes:
         # ---- preconditioner (cpp:344-397 chooses aSIMPLE) ----
         inner_f = InnerSolve(cfg.inner_tol, cfg.inner_maxiter_f)
         inner_s = InnerSolve(cfg.inner_tol, cfg.inner_maxiter_s)
+
+        def two_level_s(node_weights, diag_s):
+            """Coarse+Jacobi Schur preconditioner (solvers/schur.py) — the
+            ILU replacement; only available on the BSR operator."""
+            if self._operator != "bsr":
+                return None
+            from navierstokes_tpu.solvers.schur import (coarse_inverse,
+                                                        coarse_matrix,
+                                                        make_two_level)
+            sc = coarse_matrix(params.cells, self._coarse_plan, node_weights)
+            sc_inv = coarse_inverse(sc)
+
+            def apply_s(v):
+                return apply_B(apply_Bt(v) * node_weights[:, None])
+
+            return make_two_level(apply_s, diag_s, self._coarse_plan, sc_inv)
+
         if cfg.preconditioner == "asimple":
-            diag_s = ops.schur_diag(params, dinv[:, 0] * mflat)
+            w = dinv[:, 0] * mflat
+            diag_s = ops.schur_diag(params, w)
             M = make_asimple(apply_F, apply_B, apply_Bt, dinv, diag_s,
-                             cfg.alpha, inner_f, inner_s)
+                             cfg.alpha, inner_f, inner_s,
+                             precond_s=two_level_s(w, diag_s))
         elif cfg.preconditioner == "ayosida":
             w = params.dt_mlump_inv[:, 0] * mflat
             diag_s = ops.schur_diag(params, w)
             M = make_ayosida(apply_F, apply_B, apply_Bt, dinv,
-                             params.dt_mlump_inv, diag_s, inner_f, inner_s)
+                             params.dt_mlump_inv, diag_s, inner_f, inner_s,
+                             precond_s=two_level_s(w, diag_s))
         else:
             M = make_identity()
 
@@ -400,9 +436,14 @@ class NavierStokes:
         params = self._params()
         ts = time_step
         done = 0
+        # Adaptive chunking: the TPU runtime kills any single program
+        # execution at ~60 s, so the scan length is sized from the measured
+        # per-step time (starting at 1) and capped at the output interval.
+        budget_s = 35.0
+        k_auto = 1
         while done < n_total:
-            k = min(out_every - (ts % out_every) if out_every else n_total,
-                    n_total - done)
+            k_align = (out_every - (ts % out_every)) if out_every else n_total
+            k = max(1, min(k_align, n_total - done, k_auto))
             run = self._chunk_fn(k)
             t0 = _walltime.perf_counter()
             self._u, self._p, t_dev, ms = run(
@@ -411,6 +452,11 @@ class NavierStokes:
             wall = _walltime.perf_counter() - t0
             self.time = float(t_dev)
             per_step = wall / k
+            k_raw = max(1, min(int(budget_s / max(per_step, 1e-3)),
+                               out_every or 1_000_000))
+            # quantize to powers of two to bound the number of compiled
+            # chunk-length variants (persistent cache covers reruns)
+            k_auto = 1 << (k_raw.bit_length() - 1)
             for i in range(k):
                 csv.row(ms.time[i], dt, ms.iterations[i], 0.0, per_step,
                         ms.drag[i], ms.lift[i], ms.cd[i], ms.cl[i])
@@ -433,9 +479,10 @@ class NavierStokes:
         """VTU/PVTU dump (parity with cpp:400-436)."""
         sp = self.space
         part = self._partitioning_field()
+        p_p2 = sp.pressure_at_p2_nodes(np.asarray(self._p))
         write_vtu_pvtu(self.config.output_dir, "output-stokes", time_step,
                        sp.p2_coords, np.asarray(sp.cell_p2),
-                       np.asarray(self._u), np.asarray(self._p), part)
+                       np.asarray(self._u), p_p2, part)
 
     def _partitioning_field(self):
         try:

@@ -1,0 +1,279 @@
+"""Block-sparse-row (BSR) operators — the TPU speed-of-light matvec path.
+
+Design, driven by measured v5e characteristics (see git history):
+  * a gather costs ~2.4 ns per ROW regardless of row width (<= 512 B), so
+    the way to make unstructured FEM matvecs fast is FEWER, WIDER gathers;
+  * segment-sum scatter is far slower than gathers, so it may run once per
+    time step (assembly) but never per matvec.
+
+With RCM-ordered nodes (mesh/geometry.py reorder_rcm) grouped into blocks
+of ``bu`` (velocity) / ``bp`` (pressure), each block row couples to only a
+handful of neighbor blocks.  The monolithic operator becomes:
+
+  F    (n_vb, KB, bu, bu)   per-step values (static M/dt + nu K + C(u))
+  G    (n_vb, KG, dim, bu, bp)   static pressure gradient
+  G^T  (n_pb, KBb, dim, bp, bu)  static continuity
+
+and a matvec is: one block gather + one batched small matmul per block
+term — no scatter, no sort.  Per-step assembly reduces the element
+matrices into the F slots with a single presorted segment-sum (the
+reference rebuilds its whole Trilinos matrix per step,
+src/NavierStokes.cpp:154-294).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from navierstokes_tpu.fem.spaces import TaylorHoodSpace
+from navierstokes_tpu.ops.assembly import CellArrays
+from navierstokes_tpu.ops.operators import (Scatter, build_scatter,
+                                            convection_matrices)
+
+_static = dict(static=True)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BsrData:
+    # element inputs for the per-step convection rebuild
+    cell_p2: jax.Array
+    detj: jax.Array
+    jinv: jax.Array
+    t_hat: jax.Array
+    conv_slot_scatter: Scatter   # (nc*n_v*n_v,) -> flat F slots
+    # F block graph (velocity-velocity, scalar per component)
+    f_cols: jax.Array            # (n_vb, KB) int32 block columns
+    diag_idx: jax.Array          # (n_p2,) int32 flat index of diagonal
+    m_blk: jax.Array             # (n_vb, KB, bu, bu) static mass
+    k_blk: jax.Array             # (n_vb, KB, bu, bu) static stiffness
+    # pressure coupling (static)
+    g_cols: jax.Array            # (n_vb, KG) int32 pressure-block columns
+    g_blk: jax.Array             # (n_vb, KG, dim, bu, bp)
+    b_cols: jax.Array            # (n_pb, KBb) int32 velocity-block columns
+    b_blk: jax.Array             # (n_pb, KBb, dim, bp, bu)
+    # static geometry of the blocking
+    n_p2: int = dataclasses.field(metadata=_static)
+    n_p1: int = dataclasses.field(metadata=_static)
+    bu: int = dataclasses.field(metadata=_static)
+    bp: int = dataclasses.field(metadata=_static)
+
+
+def _block_pairs(rows, cols, bu, bv, n_rb):
+    """Unique (row_block, col_block) pairs -> ELL table + slot lookup.
+
+    Returns (cols_table (n_rb, K), K, pair_key_sorted, row_of_pair,
+    k_of_pair) where pair lookups use searchsorted on pair_key_sorted."""
+    RI = rows // bu
+    CJ = cols // bv
+    stride = np.int64(CJ.max() + 2 if len(CJ) else 2)
+    key = RI.astype(np.int64) * stride + CJ
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    first = np.ones(len(ks), dtype=bool)
+    first[1:] = ks[1:] != ks[:-1]
+    uk = ks[first]
+    ru = (uk // stride).astype(np.int64)
+    cu = (uk % stride).astype(np.int64)
+    counts = np.bincount(ru, minlength=n_rb)
+    K = max(1, int(counts.max()) if len(counts) else 1)
+    table = np.zeros((n_rb, K), dtype=np.int64)
+    row_start = np.zeros(n_rb + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_start[1:])
+    k_of = np.arange(len(ru)) - row_start[ru]
+    table[ru, k_of] = cu
+    return table, K, uk, ru, k_of, stride
+
+
+def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
+              bu: int | None = None, bp: int | None = None) -> BsrData:
+    """Host construction.  ``cells`` = numpy CellArrays
+    (assembly.cell_arrays_numpy)."""
+    dim = space.dim
+    bu = bu or (16 if dim == 2 else 8)
+    bp = bp or bu
+    n_p2, n_p1 = space.n_p2, space.n_p1
+    cp2 = np.asarray(space.cell_p2, dtype=np.int64)
+    cp1 = np.asarray(space.cell_p1, dtype=np.int64)
+    nc, nv = cp2.shape
+    npp = cp1.shape[1]
+    n_vb = -(-n_p2 // bu)
+    n_pb = -(-n_p1 // bp)
+
+    # ---- F block graph ----------------------------------------------------
+    rows = np.repeat(cp2, nv, axis=1).reshape(-1)
+    cols = np.tile(cp2, (1, nv)).reshape(-1)
+    f_cols, KB, pair_keys, _, k_of_pair, stride = _block_pairs(
+        rows, cols, bu, bu, n_vb)
+    want = (rows // bu).astype(np.int64) * stride + (cols // bu)
+    pos = np.searchsorted(pair_keys, want)
+    kb = k_of_pair[pos]
+    I = rows // bu
+    slot = ((I * KB + kb) * bu + rows % bu) * bu + (cols % bu)
+
+    n_slots = n_vb * KB * bu * bu
+    conv_plan = build_scatter(slot.astype(np.int64).reshape(-1, 1), n_slots)
+
+    def reduce_blk(elem_vals):
+        out = np.zeros(n_slots)
+        np.add.at(out, slot, elem_vals.reshape(-1))
+        return out.reshape(n_vb, KB, bu, bu)
+
+    m_blk = reduce_blk(np.asarray(cells.mass, np.float64))
+    k_blk = reduce_blk(np.asarray(cells.stiff, np.float64))
+
+    # diagonal flat index per node
+    i_all = np.arange(n_p2, dtype=np.int64)
+    Iall = i_all // bu
+    want_d = Iall * stride + Iall
+    pos_d = np.searchsorted(pair_keys, want_d)
+    # diagonal block must exist (every node couples to itself)
+    kb_d = k_of_pair[pos_d]
+    diag_idx = ((Iall * KB + kb_d) * bu + i_all % bu) * bu + (i_all % bu)
+
+    # ---- G (u rows, p cols), static ----------------------------------------
+    grad = np.asarray(cells.grad, np.float64)            # (nc, nv, dim, npp)
+    g_rows = np.repeat(cp2, npp, axis=1).reshape(-1)
+    g_cols_flat = np.tile(cp1, (1, nv)).reshape(-1)
+    g_cols, KG, gkeys, _, gk_of, gstride = _block_pairs(
+        g_rows, g_cols_flat, bu, bp, n_vb)
+    gwant = (g_rows // bu).astype(np.int64) * gstride + (g_cols_flat // bp)
+    gpos = np.searchsorted(gkeys, gwant)
+    gkb = gk_of[gpos]
+    GI = g_rows // bu
+    # slot layout: (n_vb, KG, dim, bu, bp)
+    base = ((GI * KG + gkb) * dim)
+    g_vals = np.zeros(n_vb * KG * dim * bu * bp)
+    vals = grad.transpose(0, 1, 3, 2).reshape(-1, dim)   # (nc*nv*npp, dim)
+    for d in range(dim):
+        gslot = ((base + d) * bu + g_rows % bu) * bp + (g_cols_flat % bp)
+        np.add.at(g_vals, gslot, vals[:, d])
+    g_blk = g_vals.reshape(n_vb, KG, dim, bu, bp)
+
+    # ---- B (p rows, u cols), static ----------------------------------------
+    b_rows = np.repeat(cp1, nv, axis=1).reshape(-1)
+    b_cols_flat = np.tile(cp2, (1, npp)).reshape(-1)
+    b_cols, KBb, bkeys, _, bk_of, bstride = _block_pairs(
+        b_rows, b_cols_flat, bp, bu, n_pb)
+    bwant = (b_rows // bp).astype(np.int64) * bstride + (b_cols_flat // bu)
+    bpos = np.searchsorted(bkeys, bwant)
+    bkb = bk_of[bpos]
+    BI = b_rows // bp
+    b_vals = np.zeros(n_pb * KBb * dim * bp * bu)
+    bsrc = grad.transpose(0, 3, 1, 2).reshape(-1, dim)   # (nc*npp*nv, dim)
+    for d in range(dim):
+        bslot = (((BI * KBb + bkb) * dim + d) * bp + b_rows % bp) * bu \
+                + (b_cols_flat % bu)
+        np.add.at(b_vals, bslot, bsrc[:, d])
+    b_blk = b_vals.reshape(n_pb, KBb, dim, bp, bu)
+
+    f = lambda x: jnp.asarray(x, dtype)
+    return BsrData(
+        cell_p2=jnp.asarray(np.asarray(space.cell_p2)),
+        detj=f(cells.detj), jinv=f(cells.jinv),
+        t_hat=f(space.rs.T_hat),
+        conv_slot_scatter=conv_plan,
+        f_cols=jnp.asarray(f_cols.astype(np.int32)),
+        diag_idx=jnp.asarray(diag_idx.astype(np.int32)),
+        m_blk=f(m_blk), k_blk=f(k_blk),
+        g_cols=jnp.asarray(g_cols.astype(np.int32)), g_blk=f(g_blk),
+        b_cols=jnp.asarray(b_cols.astype(np.int32)), b_blk=f(b_blk),
+        n_p2=n_p2, n_p1=n_p1, bu=bu, bp=bp,
+    )
+
+
+# ---------------------------------------------------------------------------
+# applies
+# ---------------------------------------------------------------------------
+
+
+def _ublocks(bsr: BsrData, xu):
+    n_vb = bsr.f_cols.shape[0]
+    pad = n_vb * bsr.bu - bsr.n_p2
+    xp_ = jnp.pad(xu, ((0, pad), (0, 0)))
+    return xp_.reshape(n_vb, bsr.bu, -1)
+
+
+def _pblocks(bsr: BsrData, p):
+    n_pb = bsr.b_cols.shape[0]
+    pad = n_pb * bsr.bp - bsr.n_p1
+    return jnp.pad(p, (0, pad)).reshape(n_pb, bsr.bp)
+
+
+def apply_f(bsr: BsrData, f_blk, xu):
+    xb = _ublocks(bsr, xu)
+    xg = jnp.take(xb, bsr.f_cols, axis=0)               # (n_vb, KB, bu, dim)
+    y = jnp.einsum("nkab,nkbd->nad", f_blk, xg)
+    return y.reshape(-1, xu.shape[1])[:bsr.n_p2]
+
+
+def apply_bt(bsr: BsrData, p):
+    pb = _pblocks(bsr, p)
+    pg = jnp.take(pb, bsr.g_cols, axis=0)               # (n_vb, KG, bp)
+    y = jnp.einsum("nkdab,nkb->nad", bsr.g_blk, pg)
+    return y.reshape(-1, y.shape[2])[:bsr.n_p2]
+
+
+def apply_b(bsr: BsrData, xu):
+    ub = _ublocks(bsr, xu)
+    ug = jnp.take(ub, bsr.b_cols, axis=0)               # (n_pb, KBb, bu, dim)
+    z = jnp.einsum("nkdab,nkbd->na", bsr.b_blk, ug)
+    return z.reshape(-1)[:bsr.n_p1]
+
+
+def f_diag(bsr: BsrData, f_blk):
+    return jnp.take(f_blk.reshape(-1), bsr.diag_idx)
+
+
+def mass_apply(bsr: BsrData, u):
+    return apply_f(bsr, bsr.m_blk, u)
+
+
+def schur_diag(bsr: BsrData, node_weights):
+    wb = _ublocks(bsr, node_weights[:, None])[..., 0]   # (n_vb, bu)
+    wg = jnp.take(wb, bsr.b_cols, axis=0)               # (n_pb, KBb, bu)
+    z = jnp.einsum("nkdab,nkdab,nkb->na", bsr.b_blk, bsr.b_blk, wg)
+    return z.reshape(-1)[:bsr.n_p1]
+
+
+def convection_blk(bsr: BsrData, u):
+    c_elem = convection_matrices(bsr, bsr.t_hat, u)     # duck-typed view
+    vals = bsr.conv_slot_scatter(c_elem.reshape(-1, 1))
+    n_vb, KB = bsr.f_cols.shape
+    return vals.reshape(n_vb, KB, bsr.bu, bsr.bu)
+
+
+class BsrOps:
+    """Ops-interface implementation over BsrData (models/navier_stokes)."""
+
+    def convection(self, params, u):
+        return convection_blk(params.cells, u)
+
+    def apply_blocks(self, params, f_blk, xu, xp, with_f=True, with_g=True,
+                     with_gt=True):
+        bsr = params.cells
+        yu = None
+        if with_f:
+            yu = apply_f(bsr, f_blk, xu)
+        if with_g:
+            g = apply_bt(bsr, xp)
+            yu = g if yu is None else yu + g
+        if yu is None:
+            yu = jnp.zeros_like(xu)
+        yp = apply_b(bsr, xu) if with_gt else jnp.zeros_like(xp)
+        # layout pin (see ops/operators.py): anchor loop-carried outputs to
+        # the input layout so XLA's layout assignment terminates quickly
+        return yu + 0.0 * xu, yp + 0.0 * xp
+
+    def f_diag(self, params, f_blk):
+        return f_diag(params.cells, f_blk)
+
+    def mass_apply(self, params, u):
+        return mass_apply(params.cells, u)
+
+    def schur_diag(self, params, node_weights):
+        return schur_diag(params.cells, node_weights)

@@ -248,7 +248,8 @@ class EllOps:
         if yu is None:
             yu = jnp.zeros_like(xu)
         yp = apply_b(ell, xu) if with_gt else jnp.zeros_like(xp)
-        return yu, yp
+        # layout pin (see ops/operators.py)
+        return yu + 0.0 * xu, yp + 0.0 * xp
 
     def f_diag(self, params, f_vals):
         return f_diag(params.cells, f_vals)

@@ -60,7 +60,8 @@ def make_identity():
 
 def make_asimple(apply_f: Callable, apply_b: Callable, apply_bt: Callable,
                  dinv, diag_s, alpha: float,
-                 inner_f: InnerSolve, inner_s: InnerSolve):
+                 inner_f: InnerSolve, inner_s: InnerSolve,
+                 precond_s: Callable | None = None):
     """aSIMPLE vmult (parity with src/NavierStokes.cpp:966-995):
 
         y   = F^-1 ru                (inner GMRES)
@@ -74,7 +75,7 @@ def make_asimple(apply_f: Callable, apply_b: Callable, apply_bt: Callable,
     """
     jac_f = lambda r: r * dinv
     sdinv = jnp.where(diag_s != 0, 1.0 / diag_s, 1.0)
-    jac_s = lambda r: r * sdinv
+    jac_s = precond_s or (lambda r: r * sdinv)
 
     def apply_s(v):
         return apply_b(apply_bt(v) * dinv)
@@ -93,7 +94,8 @@ def make_asimple(apply_f: Callable, apply_b: Callable, apply_bt: Callable,
 
 def make_ayosida(apply_f: Callable, apply_b: Callable, apply_bt: Callable,
                  dinv, dt_mlump_inv, diag_s,
-                 inner_f: InnerSolve, inner_s: InnerSolve):
+                 inner_f: InnerSolve, inner_s: InnerSolve,
+                 precond_s: Callable | None = None):
     """aYosida vmult (parity with src/NavierStokes.cpp:1024-1051):
 
         y   = F^-1 ru
@@ -108,7 +110,7 @@ def make_ayosida(apply_f: Callable, apply_b: Callable, apply_bt: Callable,
     """
     jac_f = lambda r: r * dinv
     sdinv = jnp.where(diag_s != 0, 1.0 / diag_s, 1.0)
-    jac_s = lambda r: r * sdinv
+    jac_s = precond_s or (lambda r: r * sdinv)
 
     def apply_s(v):
         return apply_b(apply_bt(v) * dt_mlump_inv)

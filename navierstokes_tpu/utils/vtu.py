@@ -37,13 +37,13 @@ def _b64(arr: np.ndarray) -> str:
 
 def write_vtu_pvtu(directory: str, basename: str, time_step: int,
                    p2_coords: np.ndarray, cell_p2: np.ndarray,
-                   u: np.ndarray, p_vertex: np.ndarray,
+                   u: np.ndarray, p_p2: np.ndarray,
                    partitioning: np.ndarray | None = None) -> str:
     """Write ``<basename>_<step>.vtu`` + a matching ``.pvtu`` record.
 
     p2_coords: (n_p2, dim); cell_p2: (nc, 6|10) in our local order;
-    u: (n_p2, dim); p_vertex: (n_vertices,) pressure at vertices (P1) —
-    prolonged to edge midpoints for pointwise output.
+    u: (n_p2, dim); p_p2: (n_p2,) pressure already prolonged to P2 nodes
+    (TaylorHoodSpace.pressure_at_p2_nodes).
     """
     os.makedirs(directory, exist_ok=True)
     n_p2, dim = p2_coords.shape
@@ -53,25 +53,7 @@ def write_vtu_pvtu(directory: str, basename: str, time_step: int,
     pts3[:, :dim] = p2_coords
     u3 = np.zeros((n_p2, 3), dtype=np.float32)
     u3[:, :dim] = u
-
-    # prolong P1 pressure to P2 nodes: vertices keep values, edge midpoints
-    # average their edge endpoints (exact for P1).
-    n_vert = p_vertex.shape[0]
-    p_full = np.zeros(n_p2, dtype=np.float32)
-    p_full[:n_vert] = p_vertex
-    if n_p2 > n_vert:
-        # each edge node's value: mean over cells is exact since P1 is linear
-        acc = np.zeros(n_p2)
-        cnt = np.zeros(n_p2)
-        verts = cell_p2[:, :dim + 1]
-        edges = ([(0, 1), (0, 2), (1, 2)] if dim == 2 else
-                 [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)])
-        for k, (a, b) in enumerate(edges):
-            nid = cell_p2[:, dim + 1 + k]
-            np.add.at(acc, nid, 0.5 * (p_vertex[verts[:, a]]
-                                       + p_vertex[verts[:, b]]))
-            np.add.at(cnt, nid, 1.0)
-        p_full[n_vert:] = (acc[n_vert:] / np.maximum(cnt[n_vert:], 1.0))
+    p_full = np.asarray(p_p2, dtype=np.float32)
 
     perm = _VTK_EDGE_PERM_2D if dim == 2 else _VTK_EDGE_PERM_3D
     conn = cell_p2[:, perm].astype(np.int32)

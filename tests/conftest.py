@@ -2,11 +2,14 @@
 
 Multi-chip TPU hardware is unavailable in CI; the sharding layer is
 exercised on XLA's virtual CPU devices instead (same SPMD partitioner).
+
+NOTE: this environment force-registers an 'axon' TPU backend at interpreter
+startup (sitecustomize) and overrides JAX_PLATFORMS — only an explicit
+``jax.config.update('jax_platforms', 'cpu')`` reliably selects CPU.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent XLA compilation cache: the solver programs are large (nested
 # Krylov while-loops); caching makes repeated test runs and multi-instance

@@ -1,0 +1,87 @@
+"""Parity of the fast operator realizations (node-graph ELL, blocked BSR)
+against the element gather/scatter formulation (itself validated against a
+dense assembly oracle in test_assembly.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navierstokes_tpu.fem.spaces import TaylorHoodSpace
+from navierstokes_tpu.mesh import box_3d, channel_with_cylinder_2d
+from navierstokes_tpu.mesh.geometry import morton_order
+from navierstokes_tpu.ops import bsr as B
+from navierstokes_tpu.ops import ell as E
+from navierstokes_tpu.ops.assembly import build_cell_arrays, cell_arrays_numpy
+from navierstokes_tpu.ops.operators import (apply_blocks, build_scatter,
+                                            convection_matrices,
+                                            f_diag as f_diag_cells,
+                                            mass_apply as mass_cells)
+
+
+@pytest.fixture(scope="module", params=[2, 3])
+def problem(request):
+    dim = request.param
+    mesh = (channel_with_cylinder_2d(h=0.08).reorder_spatial() if dim == 2
+            else box_3d(n=3).reorder_spatial())
+    sp = TaylorHoodSpace(mesh)
+    host = cell_arrays_numpy(sp)
+    cells = build_cell_arrays(sp, dtype=jnp.float64, host=host)
+    sv = build_scatter(sp.cell_p2, sp.n_p2)
+    spp = build_scatter(sp.cell_p1, sp.n_p1)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal((sp.n_p2, dim)))
+    p = jnp.asarray(rng.standard_normal(sp.n_p1))
+    t_hat = jnp.asarray(sp.rs.T_hat)
+    fc = cells.mass / 0.05 + 0.3 * cells.stiff \
+        + convection_matrices(cells, t_hat, u)
+    yu_ref, yp_ref = apply_blocks(cells, fc, sv, spp, u, p)
+    d_ref = f_diag_cells(cells, fc, sv)
+    m_ref = mass_cells(cells, sv, u)
+    return dict(sp=sp, host=host, cells=cells, u=u, p=p, fc=fc,
+                yu=np.asarray(yu_ref), yp=np.asarray(yp_ref),
+                d=np.asarray(d_ref), m=np.asarray(m_ref))
+
+
+def test_ell_parity(problem):
+    sp, u, p = problem["sp"], problem["u"], problem["p"]
+    ell = E.build_ell(sp, problem["host"], dtype=jnp.float64)
+    f_vals = ell.m_vals / 0.05 + 0.3 * ell.k_vals + E.convection_graph(ell, u)
+    yu = E.apply_f(ell, f_vals, u) + E.apply_bt(ell, p)
+    yp = E.apply_b(ell, u)
+    np.testing.assert_allclose(np.asarray(yu), problem["yu"], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(yp), problem["yp"], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(E.f_diag(ell, f_vals)),
+                               problem["d"], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(E.mass_apply(ell, u)),
+                               problem["m"], atol=1e-12)
+
+
+def test_bsr_parity(problem):
+    sp, u, p = problem["sp"], problem["u"], problem["p"]
+    bsr = B.build_bsr(sp, problem["host"], dtype=jnp.float64)
+    f_blk = bsr.m_blk / 0.05 + 0.3 * bsr.k_blk + B.convection_blk(bsr, u)
+    yu = B.apply_f(bsr, f_blk, u) + B.apply_bt(bsr, p)
+    yp = B.apply_b(bsr, u)
+    np.testing.assert_allclose(np.asarray(yu), problem["yu"], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(yp), problem["yp"], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(B.f_diag(bsr, f_blk)),
+                               problem["d"], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(B.mass_apply(bsr, u)),
+                               problem["m"], atol=1e-12)
+    # exact Schur diagonal: compare BSR vs ELL (both assembled-exact)
+    ell = E.build_ell(sp, problem["host"], dtype=jnp.float64)
+    w = jnp.abs(u[:, 0]) + 0.1
+    np.testing.assert_allclose(np.asarray(B.schur_diag(bsr, w)),
+                               np.asarray(E.schur_diag(ell, w)), atol=1e-12)
+
+
+def test_morton_order_locality():
+    rng = np.random.default_rng(0)
+    pts = rng.random((4096, 2))
+    perm = morton_order(pts)
+    sorted_pts = pts[perm]
+    # consecutive points along the curve are spatially close on average
+    d = np.linalg.norm(np.diff(sorted_pts, axis=0), axis=1)
+    assert np.median(d) < 0.05  # ~1/sqrt(4096) scale
+    # permutation property
+    assert len(np.unique(perm)) == len(pts)
