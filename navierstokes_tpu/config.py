@@ -121,9 +121,17 @@ class SolverConfig:
 
     # Outer Krylov (src/NavierStokes.cpp:344-397)
     outer_tol: float = 1.0e-6     # relative to ||rhs||
-    outer_maxiter: int = 200      # reference allows 10000; aSIMPLE needs ~10-40
+    outer_maxiter: int = 200      # reference allows 10000
     outer_restart: int = 30       # deal.II SolverGMRES default basis ~30
-    preconditioner: str = "asimple"  # identity | asimple | ayosida
+    # Block preconditioner:
+    #   "cc"      — Cahouet-Chabard Schur approximation (static pressure-
+    #               Laplacian V-cycle + pressure mass): h/dt-robust, the
+    #               performance default
+    #   "asimple" — reference parity (src/NavierStokes.cpp:934-995); O(100)
+    #               outer iterations at CFL > 1 by construction
+    #   "ayosida" — reference alternate (cpp:998-1051)
+    #   "identity"
+    preconditioner: str = "cc"
     alpha: float = 0.5            # aSIMPLE damping (src/NavierStokes.hpp:306)
 
     # Inner solves (reference: ILU-GMRES, rtol 1e-2, src/NavierStokes.cpp:972-973).
@@ -144,9 +152,12 @@ class SolverConfig:
     #             formulation; used by the sharded path)
     operator: str = "bsr"
     bsr_block: int = 0            # 0 => auto (16 in 2D, 8 in 3D)
-    # Two-level Schur preconditioner: pressure BSR blocks per aggregate
-    # (solvers/schur.py).  Coarse size = n_p1 / (bp * this).
+    # Two-level Schur solve (solvers/schur.py): pressure BSR blocks per
+    # aggregate (coarse size = n_p1 / (bp * this)), V-cycle count and
+    # Chebyshev smoothing steps per cycle.
     schur_agg_blocks: int = 4
+    schur_vcycles: int = 2
+    schur_smooth_k: int = 3
     # Time loop chunking: how many time steps run inside one jitted scan call.
     steps_per_chunk: int = 0      # 0 => use output_step
 

@@ -84,6 +84,12 @@ class StepParams:
     scat_v: object          # Scatter (velocity nodes)
     scat_p: object          # Scatter (pressure nodes)
     faces_obst: object      # FaceArrays | None (obstacle, tag 4)
+    # Cahouet-Chabard data (None unless operator='bsr' and precond='cc'):
+    ap_w: object            # (n_p2,) static masked 1/lumped-mass weights
+    ap_diag: object         # (n_p1,) diag of Ap
+    ap_sc_inv: object       # coarse inverse of Ap (static)
+    ap_lam: object          # lambda_max estimate for Ap smoothing
+    mp_lumped: object       # (n_p1,) lumped pressure mass
 
 
 class NavierStokes:
@@ -175,6 +181,7 @@ class NavierStokes:
             self._ops = BsrOps()
             self._coarse_plan = build_coarse_plan(self.ell,
                                                   cfg.schur_agg_blocks)
+            self._build_cc_statics()
         elif cfg.operator == "ell":
             from navierstokes_tpu.ops.ell import EllOps, build_ell
             self.shard_mesh = None
@@ -207,6 +214,36 @@ class NavierStokes:
         self._chunks = {}
         self._is_setup = True
         return self
+
+    def _build_cc_statics(self):
+        """Static Cahouet-Chabard data: masked pressure-Laplacian
+        Ap = B diag(M_lumped)^-1 B^T with its coarse inverse and spectral
+        bound (all built once — Ap never changes between steps)."""
+        from navierstokes_tpu.ops import bsr as B
+        from navierstokes_tpu.solvers.schur import (coarse_inverse,
+                                                    coarse_matrix,
+                                                    estimate_lam_max)
+        sp = self.space
+        mask_flat = np.asarray(self.bc.mask)[:, 0]
+        w = jnp.asarray(mask_flat / self._lumped_host, self.dtype)
+        self._ap_w = w
+        self._ap_diag = B.schur_diag(self.ell, w)
+        sc = coarse_matrix(self.ell, self._coarse_plan, w)
+        self._ap_sc_inv = coarse_inverse(sc)
+        sdinv = jnp.where(self._ap_diag != 0, 1.0 / self._ap_diag, 1.0)
+
+        def apply_ap(v):
+            return B.apply_b(self.ell, B.apply_bt(self.ell, v) * w[:, None])
+
+        self._ap_lam = estimate_lam_max(apply_ap, sdinv, sp.n_p1, self.dtype)
+        # lumped pressure mass: row sums of Mp = detJ * measure/(dim+1)
+        from navierstokes_tpu.ops.assembly import geometric_factors
+        detj, _ = geometric_factors(sp)
+        coeff = (0.5 / 3.0) if self.dim == 2 else (1.0 / 6.0 / 4.0)
+        mp = np.zeros(sp.n_p1)
+        np.add.at(mp, np.asarray(sp.cell_p1).reshape(-1),
+                  np.repeat(detj * coeff, sp.cell_p1.shape[1]))
+        self._mp_lumped = jnp.asarray(mp, self.dtype)
 
     def _build_static(self):
         """nu/dt-dependent static operator A0 = M/dt + nu K (element or
@@ -242,10 +279,17 @@ class NavierStokes:
                           u_mean0=jnp.asarray(
                               self.inlet.steady_mean_velocity(), self.dtype),
                           scat_v=self.scat_v, scat_p=self.scat_p,
-                          faces_obst=self.faces_obst)
+                          faces_obst=self.faces_obst,
+                          ap_w=getattr(self, "_ap_w", None),
+                          ap_diag=getattr(self, "_ap_diag", None),
+                          ap_sc_inv=getattr(self, "_ap_sc_inv", None),
+                          ap_lam=getattr(self, "_ap_lam", None),
+                          mp_lumped=getattr(self, "_mp_lumped", None))
 
-    def _step_fn(self, params: StepParams, u, p, t_prev):
-        """One semi-implicit step: returns (u_new, p_new, metrics)."""
+    def _step_fn(self, params: StepParams, u, p, t_prev, u_prev=None):
+        """One semi-implicit step: returns (u_new, p_new, t_new, metrics).
+        ``u_prev`` (solution at n-1) enables the second-order extrapolated
+        initial guess 2u - u_prev for the outer Krylov solve."""
         cfg = self.config
         ops = self._ops
         bc = params.bc
@@ -302,41 +346,69 @@ class NavierStokes:
         inner_f = InnerSolve(cfg.inner_tol, cfg.inner_maxiter_f)
         inner_s = InnerSolve(cfg.inner_tol, cfg.inner_maxiter_s)
 
-        def two_level_s(node_weights, diag_s):
-            """Coarse+Jacobi Schur preconditioner (solvers/schur.py) — the
-            ILU replacement; only available on the BSR operator."""
+        def vcycle_s(node_weights, diag_s):
+            """Chebyshev-smoothed two-level V-cycle Schur solve
+            (solvers/schur.py) — the ILU replacement, h-independent; only
+            available on the BSR operator."""
             if self._operator != "bsr":
                 return None
             from navierstokes_tpu.solvers.schur import (coarse_inverse,
                                                         coarse_matrix,
-                                                        make_two_level)
+                                                        estimate_lam_max,
+                                                        make_vcycle_solver)
             sc = coarse_matrix(params.cells, self._coarse_plan, node_weights)
             sc_inv = coarse_inverse(sc)
 
             def apply_s(v):
                 return apply_B(apply_Bt(v) * node_weights[:, None])
 
-            return make_two_level(apply_s, diag_s, self._coarse_plan, sc_inv)
+            sdinv = jnp.where(diag_s != 0, 1.0 / diag_s, 1.0)
+            lam = estimate_lam_max(apply_s, sdinv, self.space.n_p1,
+                                   self.dtype)
+            return make_vcycle_solver(apply_s, diag_s, self._coarse_plan,
+                                      sc_inv, n_cycles=cfg.schur_vcycles,
+                                      smooth_k=cfg.schur_smooth_k,
+                                      lam_max=lam)
 
-        if cfg.preconditioner == "asimple":
+        if cfg.preconditioner == "cc" and self._operator == "bsr":
+            from navierstokes_tpu.solvers.preconditioners import \
+                make_cahouet_chabard
+            from navierstokes_tpu.solvers.schur import make_vcycle_solver
+            wap = params.ap_w
+
+            def apply_ap(v):
+                return apply_B(apply_Bt(v) * wap[:, None])
+
+            solve_ap = make_vcycle_solver(
+                apply_ap, params.ap_diag, self._coarse_plan,
+                params.ap_sc_inv, n_cycles=cfg.schur_vcycles,
+                smooth_k=cfg.schur_smooth_k, lam_max=params.ap_lam)
+            M = make_cahouet_chabard(apply_F, apply_Bt, solve_ap,
+                                     params.mp_lumped, dinv, dt, params.nu,
+                                     inner_f)
+        elif cfg.preconditioner in ("asimple", "cc"):
+            # ("cc" falls back to aSIMPLE on non-BSR operator paths)
             w = dinv[:, 0] * mflat
             diag_s = ops.schur_diag(params, w)
             M = make_asimple(apply_F, apply_B, apply_Bt, dinv, diag_s,
                              cfg.alpha, inner_f, inner_s,
-                             precond_s=two_level_s(w, diag_s))
+                             solve_s=vcycle_s(w, diag_s))
         elif cfg.preconditioner == "ayosida":
             w = params.dt_mlump_inv[:, 0] * mflat
             diag_s = ops.schur_diag(params, w)
             M = make_ayosida(apply_F, apply_B, apply_Bt, dinv,
                              params.dt_mlump_inv, diag_s, inner_f, inner_s,
-                             precond_s=two_level_s(w, diag_s))
+                             solve_s=vcycle_s(w, diag_s))
         else:
             M = make_identity()
 
         # ---- outer FGMRES, warm-started from the previous step ----
         # (deal.II GMRES starts from solution_owned and uses
-        #  tol = 1e-6 * ||rhs||, cpp:348, 377)
-        x0 = (u * mask + g, p)
+        #  tol = 1e-6 * ||rhs||, cpp:348, 377; we add second-order
+        #  extrapolation in time, which roughly halves the iterations at
+        #  statistically-steady state)
+        u_guess = u if u_prev is None else (2.0 * u - u_prev)
+        x0 = (u_guess * mask + g, p)
         res = fgmres(apply_A, (b_u, b_p), x0=x0, tol=cfg.outer_tol,
                      restart=cfg.outer_restart, maxiter=cfg.outer_maxiter,
                      precond=M)
@@ -367,12 +439,13 @@ class NavierStokes:
         if n_steps not in self._chunks:
             def run(params, u, p, t0):
                 def body(carry, _):
-                    u, p, t = carry
-                    u, p, t, m = self._step_fn(params, u, p, t)
-                    return (u, p, t), m
+                    u, p, u_prev, t = carry
+                    u_new, p_new, t, m = self._step_fn(params, u, p, t,
+                                                       u_prev=u_prev)
+                    return (u_new, p_new, u, t), m
 
-                (u, p, t), ms = jax.lax.scan(body, (u, p, t0), None,
-                                             length=n_steps)
+                (u, p, _up, t), ms = jax.lax.scan(
+                    body, (u, p, u, t0), None, length=n_steps)
                 return u, p, t, ms
 
             self._chunks[n_steps] = jax.jit(run, donate_argnums=(1, 2))

@@ -58,10 +58,42 @@ def make_identity():
     return lambda r: r
 
 
+def make_cahouet_chabard(apply_f: Callable, apply_bt: Callable,
+                         solve_ap: Callable, mp_lumped, dinv,
+                         dt: float, nu, inner_f: InnerSolve):
+    """Block upper-triangular preconditioner with the Cahouet-Chabard Schur
+    approximation — the performance-mode alternative to the reference's
+    aSIMPLE (which needs O(100) outer iterations at CFL > 1 regardless of
+    inner-solve quality):
+
+        S_F^-1  ~=  (1/dt) * Ap^-1 + nu * Mp^-1
+        p = -S_F^-1 r_p
+        u = F^-1 (r_u - B^T p)
+
+    (limits: nu->0 gives S_F = B (dt M^-1) B^T = dt*Ap exactly; dt->inf
+    gives the Stokes pressure-mass result.)
+
+    with Ap = B M_lumped^-1 B^T (STATIC pressure Laplacian, inverted by the
+    fixed two-level Chebyshev V-cycle built once at setup) and Mp the lumped
+    pressure mass.  h- and dt-robust for the transient Navier-Stokes block
+    system [Cahouet & Chabard 1988]."""
+    jac_f = lambda r: r * dinv
+
+    def vmult(r):
+        ru, rp = r
+        z = solve_ap(rp) / dt + nu * (rp / mp_lumped)
+        p = -z
+        u = inner_f(apply_f, ru - apply_bt(p), jac_f)
+        return (u, p)
+
+    return vmult
+
+
 def make_asimple(apply_f: Callable, apply_b: Callable, apply_bt: Callable,
                  dinv, diag_s, alpha: float,
                  inner_f: InnerSolve, inner_s: InnerSolve,
-                 precond_s: Callable | None = None):
+                 precond_s: Callable | None = None,
+                 solve_s: Callable | None = None):
     """aSIMPLE vmult (parity with src/NavierStokes.cpp:966-995):
 
         y   = F^-1 ru                (inner GMRES)
@@ -84,7 +116,8 @@ def make_asimple(apply_f: Callable, apply_b: Callable, apply_bt: Callable,
         ru, rp = r
         y = inner_f(apply_f, ru, jac_f)
         r1 = rp - apply_b(y)
-        z = inner_s(apply_s, r1, jac_s)
+        z = solve_s(r1) if solve_s is not None \
+            else inner_s(apply_s, r1, jac_s)
         p = -z / alpha
         u = y - apply_bt(p) * dinv
         return (u, p)
@@ -95,7 +128,8 @@ def make_asimple(apply_f: Callable, apply_b: Callable, apply_bt: Callable,
 def make_ayosida(apply_f: Callable, apply_b: Callable, apply_bt: Callable,
                  dinv, dt_mlump_inv, diag_s,
                  inner_f: InnerSolve, inner_s: InnerSolve,
-                 precond_s: Callable | None = None):
+                 precond_s: Callable | None = None,
+                 solve_s: Callable | None = None):
     """aYosida vmult (parity with src/NavierStokes.cpp:1024-1051):
 
         y   = F^-1 ru
@@ -119,7 +153,8 @@ def make_ayosida(apply_f: Callable, apply_b: Callable, apply_bt: Callable,
         ru, rp = r
         y = inner_f(apply_f, ru, jac_f)
         r1 = apply_b(y) - rp
-        p = inner_s(apply_s, r1, jac_s)
+        p = solve_s(r1) if solve_s is not None \
+            else inner_s(apply_s, r1, jac_s)
         u = y - inner_f(apply_f, apply_bt(p), jac_f)
         return (u, p)
 

@@ -112,3 +112,69 @@ def make_two_level(apply_s, diag_s, plan: CoarsePlan, sc_inv: jax.Array,
         return z + omega * (sdinv * r2)
 
     return precond
+
+
+def estimate_lam_max(apply_s, sdinv, n: int, dtype, iters: int = 8):
+    """Power-iteration estimate of lambda_max(D^-1 S) (x1.05 safety)."""
+    # deterministic pseudo-random start (no RNG inside jit-able setup)
+    v = jnp.sin(jnp.arange(n, dtype=dtype) * 12.9898 + 0.5) + 0.01
+
+    def body(_, v):
+        w = sdinv * apply_s(v)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+    v = jax.lax.fori_loop(0, iters, body, v)
+    w = sdinv * apply_s(v)
+    lam = jnp.linalg.norm(w)
+    return lam * 1.05
+
+
+def chebyshev(apply_s, sdinv, lam_max, r, k: int, ratio: float = 6.0):
+    """k Chebyshev smoothing iterations for S z = r (z0 = 0), targeting the
+    upper spectrum [lam_max/ratio, lam_max] of D^-1 S — the standard
+    polynomial smoother of smoothed-aggregation AMG, and the TPU-friendly
+    replacement for Gauss-Seidel/ILU sweeps (pure matvecs + axpys)."""
+    lmin = lam_max / ratio
+    theta = 0.5 * (lam_max + lmin)
+    delta = 0.5 * (lam_max - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    d = (sdinv * r) / theta
+    z = d
+    for _ in range(k - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        resid = r - apply_s(z)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (sdinv * resid)
+        z = z + d
+        rho = rho_new
+    return z
+
+
+def make_vcycle_solver(apply_s, diag_s, plan: CoarsePlan, sc_inv: jax.Array,
+                       n_cycles: int = 2, smooth_k: int = 3,
+                       lam_max=None):
+    """Fixed-iteration two-level V-cycles approximating S^-1.
+
+    Chebyshev pre/post-smoothing + exact (dense-inverse) coarse correction.
+    A FIXED LINEAR operator: usable as the aSIMPLE inner Schur solve while
+    keeping the whole preconditioner linear (so the outer Krylov theory
+    holds exactly).  Contraction per cycle is h-independent."""
+    sdinv = jnp.where(diag_s != 0, 1.0 / diag_s, 1.0)
+
+    def vcycle(z, r):
+        # pre-smooth on the residual equation
+        z = z + chebyshev(apply_s, sdinv, lam_max, r - apply_s(z), smooth_k)
+        # coarse correction
+        rc = r - apply_s(z)
+        z = z + prolong(plan, sc_inv @ restrict(plan, rc))
+        # post-smooth
+        z = z + chebyshev(apply_s, sdinv, lam_max, r - apply_s(z), smooth_k)
+        return z
+
+    def solve(r):
+        z = jnp.zeros_like(r)
+        for _ in range(n_cycles):
+            z = vcycle(z, r)
+        return z
+
+    return solve
