@@ -80,15 +80,15 @@ def main():
     run = ns._chunk_fn(WARMUP_STEPS)
     log("compiling + warmup ...")
     t0 = time.time()
-    u, p, t, ms = run(params, ns._u, ns._p, jnp.asarray(0.0, ns.dtype))
-    jax.block_until_ready((u, p))
+    u, p, up, t, ms = run(params, ns._u, ns._p, ns._u_prev,
+                          jnp.asarray(0.0, ns.dtype))
     log(f"warmup ({WARMUP_STEPS} steps incl. compile): {time.time() - t0:.1f}s; "
         f"iters/step = {[int(i) for i in ms.iterations]}")
 
     run_m = ns._chunk_fn(MEASURE_STEPS)
     t0 = time.time()
-    u, p, t, ms = run_m(params, u, p, t)
-    jax.block_until_ready((u, p))
+    u, p, up, t, ms = run_m(params, u, p, up, t)
+    _force = float(ms.cd[-1])  # force full execution before timing stops
     wall = time.time() - t0
     steps_per_sec = MEASURE_STEPS / wall
     log(f"measured: {MEASURE_STEPS} steps in {wall:.2f}s -> "

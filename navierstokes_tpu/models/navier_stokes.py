@@ -437,18 +437,18 @@ class NavierStokes:
         is value-independent, so XLA's persistent cache can reuse it across
         scenarios and instances with the same mesh shapes."""
         if n_steps not in self._chunks:
-            def run(params, u, p, t0):
+            def run(params, u, p, u_prev, t0):
                 def body(carry, _):
                     u, p, u_prev, t = carry
                     u_new, p_new, t, m = self._step_fn(params, u, p, t,
                                                        u_prev=u_prev)
                     return (u_new, p_new, u, t), m
 
-                (u, p, _up, t), ms = jax.lax.scan(
-                    body, (u, p, u, t0), None, length=n_steps)
-                return u, p, t, ms
+                (u, p, up, t), ms = jax.lax.scan(
+                    body, (u, p, u_prev, t0), None, length=n_steps)
+                return u, p, up, t, ms
 
-            self._chunks[n_steps] = jax.jit(run, donate_argnums=(1, 2))
+            self._chunks[n_steps] = jax.jit(run, donate_argnums=(1, 2, 3))
         return self._chunks[n_steps]
 
     # ------------------------------------------------------------------
@@ -466,8 +466,9 @@ class NavierStokes:
     def solve_time_step(self):
         """Advance exactly one step (parity with cpp:344-397)."""
         run = self._chunk_fn(1)
-        self._u, self._p, t, ms = run(self._params(), self._u, self._p,
-                                      jnp.asarray(self.time, self.dtype))
+        self._u, self._p, self._u_prev, t, ms = run(
+            self._params(), self._u, self._p, self._u_prev,
+            jnp.asarray(self.time, self.dtype))
         self.time = float(t)
         m = jax.tree.map(lambda a: np.asarray(a)[0], ms)
         self._record(m)
@@ -486,11 +487,20 @@ class NavierStokes:
             self.time = 0.0
             self._u = jnp.zeros((sp.n_p2, self.dim), self.dtype)
             self._p = jnp.zeros(sp.n_p1, self.dtype)
+            # distinct buffer: u and u_prev are both donated to the chunk
+            self._u_prev = jnp.zeros((sp.n_p2, self.dim), self.dtype)
         else:
+            from navierstokes_tpu.utils.checkpoint import checkpoint_path
             u, p, t = import_state(self.config.cache_dir, time_step)
             self.time = t
             self._u = jnp.asarray(u, self.dtype)
             self._p = jnp.asarray(p, self.dtype)
+            # u_prev restores the extrapolated-guess history (restart then
+            # reproduces the continuous run bit-for-bit)
+            with np.load(checkpoint_path(self.config.cache_dir,
+                                         time_step)) as z:
+                up = z["u_prev"] if "u_prev" in z.files else np.array(u)
+            self._u_prev = jnp.asarray(np.array(up), self.dtype)
             print(f"Continuing execution from time step {time_step}")
 
     def solve(self, time_step: int = 0, csv_path: str | None = None):
@@ -519,8 +529,9 @@ class NavierStokes:
             k = max(1, min(k_align, n_total - done, k_auto))
             run = self._chunk_fn(k)
             t0 = _walltime.perf_counter()
-            self._u, self._p, t_dev, ms = run(
-                params, self._u, self._p, jnp.asarray(self.time, self.dtype))
+            self._u, self._p, self._u_prev, t_dev, ms = run(
+                params, self._u, self._p, self._u_prev,
+                jnp.asarray(self.time, self.dtype))
             ms = jax.tree.map(np.asarray, ms)
             wall = _walltime.perf_counter() - t0
             self.time = float(t_dev)
@@ -537,7 +548,8 @@ class NavierStokes:
             done += k
             ts += k
             print(f"n = {ts:4d}, t = {self.time:.4f}: "
-                  f"{int(ms.iterations[-1])} FGMRES its, "
+                  f"{int(ms.iterations[-1])} FGMRES its "
+                  f"(res {float(ms.residual[-1]):.1e}), "
                   f"Cd = {self.cd:.5f}, Cl = {self.cl:.5f} "
                   f"({per_step * 1e3:.1f} ms/step)")
             if out_every and ts % out_every == 0:
@@ -567,7 +579,7 @@ class NavierStokes:
 
     def export_data(self, time_step: int):
         export_state(self.config.cache_dir, time_step, self._u, self._p,
-                     self.time)
+                     self.time, extra=dict(u_prev=np.asarray(self._u_prev)))
 
     def import_data(self, time_step: int):
         self._init_state(time_step)

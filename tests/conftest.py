@@ -19,10 +19,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# Persistent XLA compilation cache: the solver programs are large (nested
-# Krylov while-loops); caching makes repeated test runs and multi-instance
-# tests cheap.  Programs are value-independent (StepParams as arguments).
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_nstpu_tests"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: no persistent compilation cache for tests — XLA:CPU AOT entries are
+# machine-feature-specific and poison reruns on heterogeneous hosts; true
+# CPU compiles of these programs take seconds anyway.
