@@ -1,0 +1,71 @@
+"""Schaefer-Turek benchmark validation runs.
+
+Usage: python scripts/validate_st.py [case] [h] [--cpu]
+  case: 2d1 (Re=20 steady) | 2d2 (Re=100 vortex shedding)
+
+Prints Cd/Cl in BOTH conventions:
+  * reference convention (ref_length = 0.4, matching the deal.II solver's
+    printed values — src/NavierStokes.hpp:256)
+  * standard ST convention (D = 0.1) with published intervals
+    (2D-1: Cd 5.57-5.59, Cl 0.0104-0.0110; 2D-2: Cd_max 3.22-3.24,
+     Cl_max 0.99-1.01, St 0.295-0.305)
+"""
+
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_nstpu"))
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+from navierstokes_tpu.config import InletConfig, SolverConfig
+from navierstokes_tpu.mesh import channel_with_cylinder_2d
+from navierstokes_tpu.models.navier_stokes import NavierStokes
+from navierstokes_tpu.utils.analysis import load_forces, strouhal
+
+case = sys.argv[1] if len(sys.argv) > 1 else "2d1"
+h = float(sys.argv[2]) if len(sys.argv) > 2 else 0.015
+
+dtype = "float64" if "--cpu" in sys.argv else "float32"
+csv = f"/tmp/st_{case}.csv"
+mesh = channel_with_cylinder_2d(h=h, h_near=h / 3)
+if case == "2d1":
+    inlet = InletConfig(kind="parabolic", u_m=0.3, height=0.41)
+    dt, T, re = 0.01, 2.0, 20
+else:
+    inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41)
+    dt, T, re = 0.0025, 8.0, 100
+
+cfg = SolverConfig(dtype=dtype, output_dir="/tmp/st_out",
+                   cache_dir="/tmp/st_cache", csv_path=csv,
+                   inner_maxiter_f=10)
+ns = NavierStokes(mesh, 2, 1, deltat=dt, T=T, step=200, inlet=inlet,
+                  config=cfg)
+ns.set_re_number(re)
+ns.setup()
+ns.solve()
+
+df = load_forces(csv)
+n = len(df)
+tail = df.iloc[int(n * 0.6):]
+scale = 0.4 / 0.1  # reference-convention -> standard ST (D = 0.1)
+if case == "2d1":
+    cd_ref, cl_ref = float(tail["Cd"].mean()), float(tail["Cl"].mean())
+    print(f"[reference convention] Cd = {cd_ref:.5f}, Cl = {cl_ref:.5f}")
+    print(f"[standard ST]          Cd = {cd_ref * scale:.4f} "
+          f"(target 5.57-5.59), Cl = {cl_ref * scale:.4f} "
+          f"(target 0.0104-0.0110)")
+else:
+    cd_max = float(tail["Cd"].max()) * scale
+    cl_max = float(tail["Cl"].max()) * scale
+    u_mean = 2.0 * 1.5 / 3.0
+    st = strouhal(csv, ref_length=0.1, u_mean=u_mean)
+    print(f"[standard ST] Cd_max = {cd_max:.4f} (target 3.22-3.24), "
+          f"Cl_max = {cl_max:.4f} (target 0.99-1.01), "
+          f"St = {st:.4f} (target 0.295-0.305)")
