@@ -122,7 +122,7 @@ class SolverConfig:
     # Outer Krylov (src/NavierStokes.cpp:344-397)
     outer_tol: float = 1.0e-6     # relative to ||rhs||
     outer_maxiter: int = 200      # reference allows 10000
-    outer_restart: int = 30       # deal.II SolverGMRES default basis ~30
+    outer_restart: int = 64       # larger basis measurably cuts iterations
     # Block preconditioner:
     #   "cc"      — Cahouet-Chabard Schur approximation (static pressure-
     #               Laplacian V-cycle + pressure mass): h/dt-robust, the
@@ -138,8 +138,8 @@ class SolverConfig:
     # On TPU the ILU is replaced by Jacobi-preconditioned GMRES with a fixed
     # iteration cap (statically shaped under jit).
     inner_tol: float = 1.0e-2
-    inner_maxiter_f: int = 30
-    inner_maxiter_s: int = 30
+    inner_maxiter_f: int = 10
+    inner_maxiter_s: int = 20
 
     # Numerics
     dtype: str = "float32"        # compute dtype on device

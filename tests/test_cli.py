@@ -1,0 +1,53 @@
+"""CLI smoke tests (scenario registry + argument plumbing)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from navierstokes_tpu.scenarios.cli import main
+from navierstokes_tpu.scenarios.registry import SCENARIOS, build_solver
+
+
+def test_list(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    for name in SCENARIOS:
+        assert name in out
+
+
+def test_scenario_registry_builds():
+    # every scenario must instantiate (coarse meshes for speed)
+    for name, sc in SCENARIOS.items():
+        h = 0.1 if sc.dim == 2 else 0.1
+        ns = build_solver(name, h=h)
+        assert ns.config.deltat == sc.deltat
+        assert ns.inlet.kind == sc.inlet.kind
+
+
+def test_run_smoke(tmp_path):
+    rc = main(["run", "2d-test1", "--h", "0.1", "--T", "0.02",
+               "--deltat", "0.01", "--output-step", "2",
+               "--dtype", "float64",
+               "--output-dir", str(tmp_path / "out"),
+               "--cache-dir", str(tmp_path / "cache"),
+               "--csv", str(tmp_path / "forces.csv")])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "forces.csv")
+    with open(tmp_path / "forces.csv") as f:
+        assert len(f.readlines()) == 3  # header + 2 steps
+
+
+def test_postprocess_smoke(tmp_path):
+    args = ["--h", "0.1", "--T", "0.02", "--deltat", "0.01",
+            "--output-step", "2", "--dtype", "float64",
+            "--output-dir", str(tmp_path / "out"),
+            "--cache-dir", str(tmp_path / "cache"),
+            "--csv", str(tmp_path / "forces.csv")]
+    assert main(["run", "2d-test1"] + args) == 0
+    assert main(["postprocess", "2d-test1", "--t0", "0", "--t1", "2",
+                 "--step", "2"] + args) == 0
+    # post_process wrote VTU replays
+    assert os.path.exists(tmp_path / "out" / "output-stokes_000000.vtu")
