@@ -23,7 +23,7 @@ import time
 
 DEALII_BASELINE_STEPS_PER_SEC = 0.125
 TARGET_DOFS = 1.0e6
-WARMUP_STEPS = 2
+WARMUP_STEPS = 4
 MEASURE_STEPS = 6
 
 
@@ -64,9 +64,13 @@ def main():
 
     mesh = build_mesh()
     inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41)
+    # outer_maxiter capped so a single step stays under the TPU runtime's
+    # ~60 s per-program watchdog (the impulsive first steps would otherwise
+    # run to the 200 cap); steady stepping converges in ~90-120 iterations.
     cfg = SolverConfig(dtype="float32", output_dir="/tmp/bench_out",
                        cache_dir="/tmp/bench_cache",
-                       csv_path="/tmp/bench_forces.csv")
+                       csv_path="/tmp/bench_forces.csv",
+                       outer_maxiter=128)
     ns = NavierStokes(mesh, 2, 1, deltat=0.02, T=1.0, step=10, inlet=inlet,
                       config=cfg)
     ns.set_re_number(100)
