@@ -140,6 +140,10 @@ class SolverConfig:
     inner_tol: float = 1.0e-2
     inner_maxiter_f: int = 10
     inner_maxiter_s: int = 20
+    # Read the F-block values in bfloat16 inside the PRECONDITIONER's inner
+    # solves (vectors and accumulation stay fp32).  Halves the dominant HBM
+    # traffic; the outer (true-residual) operator stays full precision.
+    inner_bf16: bool = True
 
     # Numerics
     dtype: str = "float32"        # compute dtype on device

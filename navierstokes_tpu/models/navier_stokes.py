@@ -318,11 +318,18 @@ class NavierStokes:
 
         zero_p = jnp.zeros(self.space.n_p1, self.dtype)
 
+        # low-precision F values for the preconditioner's inner solves
+        # (matrix bf16, vectors fp32 -> fp32 accumulation via promotion)
+        if cfg.inner_bf16 and self.dtype == jnp.dtype(jnp.float32):
+            f_inner = f_cell.astype(jnp.bfloat16)
+        else:
+            f_inner = f_cell
+
         def apply_F(xu):
             xum = xu * mask
-            yu, _ = ops.apply_blocks(params, f_cell, xum, zero_p,
+            yu, _ = ops.apply_blocks(params, f_inner, xum, zero_p,
                                      with_g=False, with_gt=False)
-            return yu * mask + sigma * (xu - xum)
+            return (yu * mask + sigma * (xu - xum)).astype(self.dtype)
 
         def apply_B(xu):
             _, yp = ops.apply_blocks(params, f_cell, xu * mask, zero_p,

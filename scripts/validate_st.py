@@ -32,38 +32,38 @@ from navierstokes_tpu.utils.analysis import load_forces, strouhal
 case = sys.argv[1] if len(sys.argv) > 1 else "2d1"
 h = float(sys.argv[2]) if len(sys.argv) > 2 else 0.015
 
+# True Schaefer-Turek setup: nu = 1e-3, D = 0.1 normalization.  (Note: the
+# reference's set_re_number path uses its Diameter=0.4 quirk, which at
+# "Re=20" actually gives nu=0.004, i.e. a TRUE Reynolds number of 5 — we
+# validate the physics against the published benchmarks directly.)
 dtype = "float64" if "--cpu" in sys.argv else "float32"
 csv = f"/tmp/st_{case}.csv"
 mesh = channel_with_cylinder_2d(h=h, h_near=h / 3)
 if case == "2d1":
     inlet = InletConfig(kind="parabolic", u_m=0.3, height=0.41)
-    dt, T, re = 0.01, 2.0, 20
+    dt, T = 0.01, 4.0
 else:
     inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41)
-    dt, T, re = 0.0025, 8.0, 100
+    dt, T = 0.0025, 8.0
 
-cfg = SolverConfig(dtype=dtype, output_dir="/tmp/st_out",
-                   cache_dir="/tmp/st_cache", csv_path=csv,
-                   inner_maxiter_f=10)
-ns = NavierStokes(mesh, 2, 1, deltat=dt, T=T, step=200, inlet=inlet,
+cfg = SolverConfig(dtype=dtype, nu=1.0e-3, ref_length=0.1,
+                   output_dir="/tmp/st_out", cache_dir="/tmp/st_cache",
+                   csv_path=csv, inner_maxiter_f=10)
+ns = NavierStokes(mesh, 2, 1, deltat=dt, T=T, step=400, inlet=inlet,
                   config=cfg)
-ns.set_re_number(re)
 ns.setup()
 ns.solve()
 
 df = load_forces(csv)
 n = len(df)
 tail = df.iloc[int(n * 0.6):]
-scale = 0.4 / 0.1  # reference-convention -> standard ST (D = 0.1)
 if case == "2d1":
-    cd_ref, cl_ref = float(tail["Cd"].mean()), float(tail["Cl"].mean())
-    print(f"[reference convention] Cd = {cd_ref:.5f}, Cl = {cl_ref:.5f}")
-    print(f"[standard ST]          Cd = {cd_ref * scale:.4f} "
-          f"(target 5.57-5.59), Cl = {cl_ref * scale:.4f} "
-          f"(target 0.0104-0.0110)")
+    cd, cl = float(tail["Cd"].mean()), float(tail["Cl"].mean())
+    print(f"[standard ST] Cd = {cd:.4f} (target 5.57-5.59), "
+          f"Cl = {cl:.4f} (target 0.0104-0.0110)")
 else:
-    cd_max = float(tail["Cd"].max()) * scale
-    cl_max = float(tail["Cl"].max()) * scale
+    cd_max = float(tail["Cd"].max())
+    cl_max = float(tail["Cl"].max())
     u_mean = 2.0 * 1.5 / 3.0
     st = strouhal(csv, ref_length=0.1, u_mean=u_mean)
     print(f"[standard ST] Cd_max = {cd_max:.4f} (target 3.22-3.24), "

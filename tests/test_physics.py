@@ -1,0 +1,73 @@
+"""Physics invariance and accuracy tests.
+
+Poiseuille flow is an EXACT discrete steady state of the Taylor-Hood
+discretization (parabolic velocity lies in P2, linear pressure in P1, and
+the convection term vanishes identically), so a time step started from it
+must return it to solver tolerance — a sharp end-to-end check of assembly,
+BCs, Neumann outflow and the solver acting together."""
+
+import numpy as np
+import pytest
+
+from navierstokes_tpu.config import InletConfig, SolverConfig
+from navierstokes_tpu.mesh import rectangle_2d
+from navierstokes_tpu.models.navier_stokes import NavierStokes
+
+
+@pytest.mark.parametrize("precond", ["cc", "asimple"])
+def test_poiseuille_invariance(tmp_path, precond):
+    import jax.numpy as jnp
+
+    lx, ly, um, nu = 2.0, 1.0, 1.5, 0.05
+    mesh = rectangle_2d(lx, ly, 12, 6)
+    inlet = InletConfig(kind="parabolic", u_m=um, height=ly)
+    cfg = SolverConfig(dtype="float64", nu=nu, preconditioner=precond,
+                       output_dir=str(tmp_path / "o"),
+                       cache_dir=str(tmp_path / "c"),
+                       csv_path=str(tmp_path / "f.csv"))
+    ns = NavierStokes(mesh, 2, 1, deltat=0.1, T=0.3, step=3, inlet=inlet,
+                      config=cfg)
+    ns.setup()
+    ns._init_state(0)
+
+    # exact steady state: u = (4 um y (ly-y)/ly^2, 0),
+    # p = 8 nu um (lx - x) / ly^2   (dp/dx = -8 nu um / ly^2; p(outlet)=0)
+    y = ns.space.p2_coords[:, 1]
+    x = ns.space.p2_coords[:, 0]
+    u_ex = np.zeros((ns.space.n_p2, 2))
+    u_ex[:, 0] = 4 * um * y * (ly - y) / ly ** 2
+    xp1 = ns.mesh.points[:, 0]
+    p_ex = 8 * nu * um * (lx - xp1) / ly ** 2
+
+    ns._u = jnp.asarray(u_ex)
+    ns._u_prev = jnp.asarray(u_ex.copy())
+    ns._p = jnp.asarray(p_ex)
+
+    m = ns.solve_time_step()
+    u_new = np.asarray(ns._u)
+    p_new = np.asarray(ns._p)
+    # must remain at the exact steady state (up to outer tolerance)
+    err_u = np.abs(u_new - u_ex).max() / np.abs(u_ex).max()
+    err_p = np.abs(p_new - p_ex).max() / np.abs(p_ex).max()
+    assert err_u < 1e-6, err_u
+    assert err_p < 1e-5, err_p
+    assert int(m.iterations) <= 5  # starts at the solution
+
+
+def test_poiseuille_from_rest(tmp_path):
+    """Transient develops toward the exact profile."""
+    lx, ly, um, nu = 2.0, 1.0, 1.0, 0.2
+    mesh = rectangle_2d(lx, ly, 10, 6)
+    inlet = InletConfig(kind="parabolic", u_m=um, height=ly)
+    cfg = SolverConfig(dtype="float64", nu=nu,
+                       output_dir=str(tmp_path / "o"),
+                       cache_dir=str(tmp_path / "c"),
+                       csv_path=str(tmp_path / "f.csv"))
+    ns = NavierStokes(mesh, 2, 1, deltat=0.25, T=5.0, step=20, inlet=inlet,
+                      config=cfg)
+    ns.setup()
+    ns.solve()
+    y = ns.space.p2_coords[:, 1]
+    u_ex = 4 * um * y * (ly - y) / ly ** 2
+    err = np.abs(np.asarray(ns._u)[:, 0] - u_ex).max()
+    assert err < 1e-4 * um, err
