@@ -109,6 +109,11 @@ class SolverConfig:
     # 3D span factor: reference divides by an extra 0.41 in 3D
     # (src/NavierStokes.cpp:913-917).
     span_3d: float = 0.41
+    # Viscous force term (ops/forces.py): "reference" = n.grad(u).t, the
+    # reference's contraction (vanishes on no-slip walls — its printed
+    # coefficients carry no friction); "st" = t.grad(u).n, the
+    # Schaefer-Turek definition (use for benchmark comparisons).
+    force_formula: str = "reference"
 
     # Time stepping (ctor args, src/NavierStokes.hpp:173-189)
     deltat: float = 0.01

@@ -431,7 +431,7 @@ class NavierStokes:
         # ---- forces (cpp:831-929) ----
         if params.faces_obst is not None:
             drag, lift = drag_lift(params.faces_obst, u_new, p_new,
-                                   params.nu)
+                                   params.nu, formula=cfg.force_formula)
             u_mean = params.u_mean0 * self._time_factor(t_new)
             cd, cl = force_coefficients(drag, lift, u_mean,
                                         cfg.ref_length, self.dim,
@@ -600,7 +600,8 @@ class NavierStokes:
     def compute_forces(self, time: float | None = None):
         """Force recomputation on the current state (cpp:831-929)."""
         t = self.time if time is None else time
-        drag, lift = drag_lift(self.faces_obst, self._u, self._p, self.nu)
+        drag, lift = drag_lift(self.faces_obst, self._u, self._p, self.nu,
+                               formula=self.config.force_formula)
         u_mean = (self.inlet.steady_mean_velocity()
                   * float(self._time_factor(jnp.asarray(t, self.dtype))))
         cd, cl = force_coefficients(float(drag), float(lift), u_mean,

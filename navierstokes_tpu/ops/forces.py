@@ -26,11 +26,20 @@ import jax.numpy as jnp
 from navierstokes_tpu.ops.assembly import FaceArrays
 
 
-def drag_lift(faces: FaceArrays, u, p, nu):
+def drag_lift(faces: FaceArrays, u, p, nu, formula: str = "reference"):
     """Raw (drag, lift) integrals over the given faces.
 
     u: (n_p2, dim), p: (n_p1,).  Fully batched over faces and face quad
     points; differentiable and jittable.
+
+    ``formula`` selects the viscous term:
+      * "reference" — n . grad(u) . t, exactly what the reference computes
+        (src/NavierStokes.cpp:892-902).  NOTE: this contraction is the
+        tangential derivative of (u . n), which vanishes analytically on a
+        no-slip boundary — the reference's printed coefficients therefore
+        carry essentially no friction contribution.  Kept for output parity.
+      * "st" — t . grad(u) . n = d(u_t)/dn, the Schaefer-Turek definition;
+        use this to compare against published benchmark values.
     """
     u_f = jnp.take(u, faces.vel_nodes, axis=0)         # (nf, n_v, dim)
     p_f = jnp.take(p, faces.p_nodes, axis=0)           # (nf, n_p)
@@ -46,7 +55,10 @@ def drag_lift(faces: FaceArrays, u, p, nu):
     else:
         t = jnp.stack([n[:, 1], -n[:, 0], jnp.zeros_like(n[:, 0])], axis=1)
 
-    ngt = jnp.einsum("fa,fqab,fb->fq", n, grad_u, t)   # n . grad(u) . t
+    if formula == "st":
+        ngt = jnp.einsum("fa,fqab,fb->fq", t, grad_u, n)  # t . grad(u) . n
+    else:
+        ngt = jnp.einsum("fa,fqab,fb->fq", n, grad_u, t)  # n . grad(u) . t
     jxw = faces.jxw
     nx = n[:, 0][:, None]
     ny = n[:, 1][:, None]

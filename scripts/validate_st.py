@@ -47,6 +47,7 @@ else:
     dt, T = 0.0025, 8.0
 
 cfg = SolverConfig(dtype=dtype, nu=1.0e-3, ref_length=0.1,
+                   force_formula="st",
                    output_dir="/tmp/st_out", cache_dir="/tmp/st_cache",
                    csv_path=csv, inner_maxiter_f=10)
 ns = NavierStokes(mesh, 2, 1, deltat=dt, T=T, step=400, inlet=inlet,

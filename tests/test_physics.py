@@ -54,6 +54,36 @@ def test_poiseuille_invariance(tmp_path, precond):
     assert int(m.iterations) <= 5  # starts at the solution
 
 
+def test_wall_shear_force_formulas():
+    """On an exactly-interpolated Poiseuille field, the ST viscous term
+    t.grad(u).n on the bottom wall integrates to the analytic wall shear
+    nu * 4 um / ly * lx, while the reference's n.grad(u).t term vanishes."""
+    import jax.numpy as jnp
+
+    from navierstokes_tpu.fem.spaces import TaylorHoodSpace
+    from navierstokes_tpu.ops.assembly import build_face_arrays
+    from navierstokes_tpu.ops.forces import drag_lift
+
+    lx, ly, um, nu = 2.0, 1.0, 1.5, 0.05
+    mesh = rectangle_2d(lx, ly, 8, 4)
+    sp = TaylorHoodSpace(mesh)
+    y = sp.p2_coords[:, 1]
+    u = np.zeros((sp.n_p2, 2))
+    u[:, 0] = 4 * um * y * (ly - y) / ly ** 2
+    p = np.zeros(sp.n_p1)
+
+    faces = build_face_arrays(sp, 0, dtype=jnp.float64)  # bottom wall
+    drag_st, _ = drag_lift(faces, jnp.asarray(u), jnp.asarray(p), nu,
+                           formula="st")
+    drag_ref, _ = drag_lift(faces, jnp.asarray(u), jnp.asarray(p), nu,
+                            formula="reference")
+    # our normal points out of the fluid; the -drag in the Cd step restores
+    # the physical sign, so the raw integral is -(shear force)
+    shear = nu * 4 * um / ly * lx
+    np.testing.assert_allclose(float(drag_st), -shear, rtol=1e-12)
+    np.testing.assert_allclose(float(drag_ref), 0.0, atol=1e-12)
+
+
 def test_poiseuille_from_rest(tmp_path):
     """Transient develops toward the exact profile."""
     lx, ly, um, nu = 2.0, 1.0, 1.0, 0.2
