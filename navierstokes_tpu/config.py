@@ -146,9 +146,10 @@ class SolverConfig:
     inner_maxiter_f: int = 10
     inner_maxiter_s: int = 20
     # Read the F-block values in bfloat16 inside the PRECONDITIONER's inner
-    # solves (vectors and accumulation stay fp32).  Halves the dominant HBM
-    # traffic; the outer (true-residual) operator stays full precision.
-    inner_bf16: bool = True
+    # solves (vectors and accumulation stay fp32).  Measured neutral-to-
+    # slightly-slower on v5e (the blocked matvec is compute-lowering-bound,
+    # not HBM-bound, because of the narrow rhs) — kept as an option.
+    inner_bf16: bool = False
 
     # Numerics
     dtype: str = "float32"        # compute dtype on device

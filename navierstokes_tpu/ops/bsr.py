@@ -207,8 +207,15 @@ def _pblocks(bsr: BsrData, p):
 def apply_f(bsr: BsrData, f_blk, xu):
     xb = _ublocks(bsr, xu)
     xg = jnp.take(xb, bsr.f_cols, axis=0)               # (n_vb, KB, bu, dim)
-    y = jnp.einsum("nkab,nkbd->nad", f_blk, xg)
-    return y.reshape(-1, xu.shape[1])[:bsr.n_p2]
+    if f_blk.dtype == jnp.bfloat16:
+        # true mixed precision: bf16 operand reads (the block values are
+        # the dominant HBM traffic), fp32 accumulation on the MXU
+        y = jnp.einsum("nkab,nkbd->nad", f_blk,
+                       xg.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    else:
+        y = jnp.einsum("nkab,nkbd->nad", f_blk, xg)
+    return y.reshape(-1, xu.shape[1])[:bsr.n_p2].astype(xu.dtype)
 
 
 def apply_bt(bsr: BsrData, p):
