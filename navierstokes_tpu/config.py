@@ -132,6 +132,8 @@ class SolverConfig:
     #   "cc"      — Cahouet-Chabard Schur approximation (static pressure-
     #               Laplacian V-cycle + pressure mass): h/dt-robust, the
     #               performance default
+    #   "pcd"     — pressure convection-diffusion (CC + per-step pressure
+    #               convection operator): better at CFL > 1
     #   "asimple" — reference parity (src/NavierStokes.cpp:934-995); O(100)
     #               outer iterations at CFL > 1 by construction
     #   "ayosida" — reference alternate (cpp:998-1051)

@@ -158,6 +158,10 @@ class ReferenceSimplex:
         # convection T[a,b,x,e]    = sum_q w phi_a d_x phi_b phi_e
         self.T_hat = np.einsum("q,qa,qbx,qe->abxe", w, self.phi_v,
                                self.dphi_v, self.phi_v)
+        # pressure-space convection: Tp[i,j,x,e] = sum_q w psi_i d_x psi_j phi_e
+        # (for the PCD preconditioner's pressure convection operator)
+        self.Tp_hat = np.einsum("q,qi,qjx,qe->ijxe", w, self.phi_p,
+                                self.dphi_p, self.phi_v)
         # lumped-mass accumulator with the reference's per-quad-point abs
         # (src/NavierStokes.cpp:232-236): L[a] = sum_q w |phi_a| sum_b |phi_b|
         self.Mlump_hat = np.einsum("q,qa,q->a", w, np.abs(self.phi_v),

@@ -377,9 +377,9 @@ class NavierStokes:
                                       smooth_k=cfg.schur_smooth_k,
                                       lam_max=lam)
 
-        if cfg.preconditioner == "cc" and self._operator == "bsr":
-            from navierstokes_tpu.solvers.preconditioners import \
-                make_cahouet_chabard
+        if cfg.preconditioner in ("cc", "pcd") and self._operator == "bsr":
+            from navierstokes_tpu.solvers.preconditioners import (
+                make_cahouet_chabard, make_pcd)
             from navierstokes_tpu.solvers.schur import make_vcycle_solver
             wap = params.ap_w
 
@@ -390,11 +390,23 @@ class NavierStokes:
                 apply_ap, params.ap_diag, self._coarse_plan,
                 params.ap_sc_inv, n_cycles=cfg.schur_vcycles,
                 smooth_k=cfg.schur_smooth_k, lam_max=params.ap_lam)
-            M = make_cahouet_chabard(apply_F, apply_Bt, solve_ap,
-                                     params.mp_lumped, dinv, dt, params.nu,
-                                     inner_f)
-        elif cfg.preconditioner in ("asimple", "cc"):
-            # ("cc" falls back to aSIMPLE on non-BSR operator paths)
+            if cfg.preconditioner == "pcd":
+                from navierstokes_tpu.ops.bsr import (apply_pp,
+                                                      pressure_convection_blk)
+                np_blk = pressure_convection_blk(params.cells, u)
+
+                def apply_np(v):
+                    return apply_pp(params.cells, np_blk, v)
+
+                M = make_pcd(apply_F, apply_Bt, solve_ap, apply_ap,
+                             apply_np, params.mp_lumped, dinv, dt,
+                             params.nu, inner_f)
+            else:
+                M = make_cahouet_chabard(apply_F, apply_Bt, solve_ap,
+                                         params.mp_lumped, dinv, dt,
+                                         params.nu, inner_f)
+        elif cfg.preconditioner in ("asimple", "cc", "pcd"):
+            # ("cc"/"pcd" fall back to aSIMPLE on non-BSR operator paths)
             w = dinv[:, 0] * mflat
             diag_s = ops.schur_diag(params, w)
             M = make_asimple(apply_F, apply_B, apply_Bt, dinv, diag_s,

@@ -56,6 +56,11 @@ class BsrData:
     g_blk: jax.Array             # (n_vb, KG, dim, bu, bp)
     b_cols: jax.Array            # (n_pb, KBb) int32 velocity-block columns
     b_blk: jax.Array             # (n_pb, KBb, dim, bp, bu)
+    # pressure-pressure graph (for the PCD convection operator)
+    pp_cols: jax.Array           # (n_pb, KPP) int32 pressure-block columns
+    pp_slot_scatter: Scatter     # (nc*n_p*n_p,) -> flat PP slots
+    tp_hat: jax.Array            # P1 convection reference tensor
+    cell_p1: jax.Array           # (nc, n_p) int32
     # static geometry of the blocking
     n_p2: int = dataclasses.field(metadata=_static)
     n_p1: int = dataclasses.field(metadata=_static)
@@ -171,6 +176,19 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
         np.add.at(b_vals, bslot, bsrc[:, d])
     b_blk = b_vals.reshape(n_pb, KBb, dim, bp, bu)
 
+    # ---- P1-P1 pressure graph (PCD convection), per-step values ----------
+    p_rows = np.repeat(cp1, npp, axis=1).reshape(-1)
+    p_cols_flat = np.tile(cp1, (1, npp)).reshape(-1)
+    pp_cols, KPP, pkeys, _, pk_of, pstride = _block_pairs(
+        p_rows, p_cols_flat, bp, bp, n_pb)
+    pwant = (p_rows // bp).astype(np.int64) * pstride + (p_cols_flat // bp)
+    ppos = np.searchsorted(pkeys, pwant)
+    pkb = pk_of[ppos]
+    PI = p_rows // bp
+    pp_slot = ((PI * KPP + pkb) * bp + p_rows % bp) * bp + (p_cols_flat % bp)
+    pp_plan = build_scatter(pp_slot.astype(np.int64).reshape(-1, 1),
+                            n_pb * KPP * bp * bp)
+
     f = lambda x: jnp.asarray(x, dtype)
     return BsrData(
         cell_p2=jnp.asarray(np.asarray(space.cell_p2)),
@@ -182,6 +200,10 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
         m_blk=f(m_blk), k_blk=f(k_blk),
         g_cols=jnp.asarray(g_cols.astype(np.int32)), g_blk=f(g_blk),
         b_cols=jnp.asarray(b_cols.astype(np.int32)), b_blk=f(b_blk),
+        pp_cols=jnp.asarray(pp_cols.astype(np.int32)),
+        pp_slot_scatter=pp_plan,
+        tp_hat=f(space.rs.Tp_hat),
+        cell_p1=jnp.asarray(np.asarray(space.cell_p1)),
         n_p2=n_p2, n_p1=n_p1, bu=bu, bp=bp,
     )
 
@@ -244,6 +266,26 @@ def schur_diag(bsr: BsrData, node_weights):
     wb = _ublocks(bsr, node_weights[:, None])[..., 0]   # (n_vb, bu)
     wg = jnp.take(wb, bsr.b_cols, axis=0)               # (n_pb, KBb, bu)
     z = jnp.einsum("nkdab,nkdab,nkb->na", bsr.b_blk, bsr.b_blk, wg)
+    return z.reshape(-1)[:bsr.n_p1]
+
+
+def pressure_convection_blk(bsr: BsrData, u):
+    """Per-step pressure-space convection N_p(u) in blocked form:
+    (n_pb, KPP, bp, bp).  np_ij = int psi_i (u . grad psi_j) — the moving
+    part of the PCD preconditioner's Fp operator."""
+    u_c = jnp.take(u, bsr.cell_p2, axis=0)              # (nc, n_v, dim)
+    w = jnp.einsum("cxd,ced->cxe", bsr.jinv, u_c) * bsr.detj[:, None, None]
+    np_elem = jnp.einsum("ijxe,cxe->cij", bsr.tp_hat, w)
+    vals = bsr.pp_slot_scatter(np_elem.reshape(-1, 1))
+    n_pb, KPP = bsr.pp_cols.shape
+    return vals.reshape(n_pb, KPP, bsr.bp, bsr.bp)
+
+
+def apply_pp(bsr: BsrData, pp_blk, xp):
+    """Pressure-graph matvec: (n_p1,) -> (n_p1,)."""
+    pb = _pblocks(bsr, xp)
+    pg = jnp.take(pb, bsr.pp_cols, axis=0)              # (n_pb, KPP, bp)
+    z = jnp.einsum("nkab,nkb->na", pp_blk, pg)
     return z.reshape(-1)[:bsr.n_p1]
 
 

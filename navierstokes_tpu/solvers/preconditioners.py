@@ -89,6 +89,33 @@ def make_cahouet_chabard(apply_f: Callable, apply_bt: Callable,
     return vmult
 
 
+def make_pcd(apply_f: Callable, apply_bt: Callable, solve_ap: Callable,
+             apply_ap: Callable, apply_np: Callable, mp_lumped, dinv,
+             dt: float, nu, inner_f: InnerSolve):
+    """Pressure convection-diffusion (PCD) Schur approximation
+    [Elman, Silvester & Wathen]:
+
+        S_F^-1  ~=  Mp^-1 Fp Ap^-1,   Fp = Mp/dt + nu Ap + Np(u)
+
+    where Ap is the (static) mixed pressure Laplacian, Mp the lumped
+    pressure mass, and Np the per-step pressure-space convection operator.
+    Reduces to Cahouet-Chabard when Np = 0; the convection term is what
+    keeps outer iteration counts bounded at CFL > 1.
+    """
+    jac_f = lambda r: r * dinv
+
+    def vmult(r):
+        ru, rp = r
+        y = solve_ap(rp)                                   # Ap^-1 r
+        fy = mp_lumped * y / dt + nu * apply_ap(y) + apply_np(y)
+        z = fy / mp_lumped
+        p = -z
+        u = inner_f(apply_f, ru - apply_bt(p), jac_f)
+        return (u, p)
+
+    return vmult
+
+
 def make_asimple(apply_f: Callable, apply_b: Callable, apply_bt: Callable,
                  dinv, diag_s, alpha: float,
                  inner_f: InnerSolve, inner_s: InnerSolve,
