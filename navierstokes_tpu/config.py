@@ -147,6 +147,16 @@ class SolverConfig:
     inner_tol: float = 1.0e-2
     inner_maxiter_f: int = 10
     inner_maxiter_s: int = 20
+    # F-block preconditioner inside the inner velocity solve:
+    #   "bj"     — 128x128 tile-diagonal dense inverse (batched MXU solve,
+    #              rebuilt per step; the ILU(0) replacement — ops/p1ell.py)
+    #   "jacobi" — diagonal scaling only
+    f_precond: str = "bj"
+    # F-solve strategy: "richardson" = inner_maxiter_f preconditioned
+    # Richardson sweeps (no dot products — cheapest per iteration);
+    # "bicgstab" = Krylov inner solve (2 matvecs/iter).
+    f_solver: str = "richardson"
+    bj_tile_blocks: int = 8       # BSR block-rows per block-Jacobi tile
     # Read the F-block values in bfloat16 inside the PRECONDITIONER's inner
     # solves (vectors and accumulation stay fp32).  Measured neutral-to-
     # slightly-slower on v5e (the blocked matvec is compute-lowering-bound,

@@ -132,8 +132,8 @@ class TaylorHoodSpace:
         compact spatial patch AND stays aligned with the P1 (vertex)
         numbering — both needed to keep the velocity-velocity and
         pressure-velocity block graphs narrow (ops/bsr.py)."""
-        from navierstokes_tpu.mesh.geometry import morton_order
-        perm = morton_order(self.p2_coords).astype(np.int64)
+        from navierstokes_tpu.mesh.geometry import hilbert_order
+        perm = hilbert_order(self.p2_coords).astype(np.int64)
         inv = np.empty(self.n_p2, dtype=np.int64)
         inv[perm] = np.arange(self.n_p2)
         self.cell_p2 = inv[self.cell_p2.astype(np.int64)].astype(np.int32)

@@ -63,6 +63,53 @@ def morton_order(points: np.ndarray) -> np.ndarray:
     return np.argsort(key, kind="stable")
 
 
+def hilbert_order(points: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Permutation sorting points along a Hilbert curve (Skilling's
+    transpose algorithm, vectorized).
+
+    Preferred over Morton for operator locality: the Hilbert curve has no
+    long jumps, so consecutive node ids are *always* spatial neighbors.
+    Measured on the 1M-DoF bench mesh this cuts the velocity block graph's
+    max neighbor count from 25 to 16 blocks (mean 12.1 -> 9.5) — a ~1.6x
+    reduction in blocked-operator HBM traffic (scripts/exp_ordering.py).
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    lo = pts.min(axis=0)
+    span = np.maximum(pts.max(axis=0) - lo, 1e-300)
+    n = pts.shape[1]
+    X = ((pts - lo) / span * ((1 << bits) - 1)).astype(np.uint64)
+    M = np.uint64(1) << np.uint64(bits - 1)
+    # AxesToTranspose (Skilling 2004)
+    Q = M
+    while Q > np.uint64(1):
+        P = Q - np.uint64(1)
+        for i in range(n):
+            mask = (X[:, i] & Q) != 0
+            X[mask, 0] ^= P
+            nm = ~mask
+            t = (X[nm, 0] ^ X[nm, i]) & P
+            X[nm, 0] ^= t
+            X[nm, i] ^= t
+        Q >>= np.uint64(1)
+    for i in range(1, n):
+        X[:, i] ^= X[:, i - 1]
+    t = np.zeros(len(X), dtype=np.uint64)
+    Q = M
+    while Q > np.uint64(1):
+        mask = (X[:, n - 1] & Q) != 0
+        t[mask] ^= Q - np.uint64(1)
+        Q >>= np.uint64(1)
+    for i in range(n):
+        X[:, i] ^= t
+    # interleave transposed coordinate bits into one sort key (X[0] highest)
+    if n == 2:
+        key = (_part1by1(X[:, 0]) << np.uint64(1)) | _part1by1(X[:, 1])
+    else:
+        key = ((_part1by2(X[:, 0]) << np.uint64(2))
+               | (_part1by2(X[:, 1]) << np.uint64(1)) | _part1by2(X[:, 2]))
+    return np.argsort(key, kind="stable")
+
+
 @dataclasses.dataclass
 class Mesh:
     dim: int
@@ -192,7 +239,7 @@ class Mesh:
         are permuted consistently, so the canonical DoF ordering (and with
         it checkpoint portability) is preserved.
         """
-        perm = morton_order(self.points)
+        perm = hilbert_order(self.points)
         inv = np.empty(self.n_points, dtype=np.int64)
         inv[perm] = np.arange(self.n_points)
         self.points = np.ascontiguousarray(self.points[perm])

@@ -86,10 +86,11 @@ class StepParams:
     faces_obst: object      # FaceArrays | None (obstacle, tag 4)
     # Cahouet-Chabard data (None unless operator='bsr' and precond='cc'):
     ap_w: object            # (n_p2,) static masked 1/lumped-mass weights
-    ap_diag: object         # (n_p1,) diag of Ap
+    ap: object              # EllBlocked: host-assembled Ap = B diag(w) B^T
     ap_sc_inv: object       # coarse inverse of Ap (static)
     ap_lam: object          # lambda_max estimate for Ap smoothing
     mp_lumped: object       # (n_p1,) lumped pressure mass
+    bj_plan: object         # BlockJacobiPlan | None (F tile preconditioner)
 
 
 class NavierStokes:
@@ -150,6 +151,7 @@ class NavierStokes:
 
         from navierstokes_tpu.ops.assembly import cell_arrays_numpy
         cells_host = cell_arrays_numpy(sp)
+        self._cells_host = cells_host
         self.cells = build_cell_arrays(sp, dtype=self.dtype, host=cells_host)
         self.t_hat = jnp.asarray(sp.rs.T_hat, dtype=self.dtype)
         self.bc: DirichletBC = build_dirichlet(sp, self.inlet,
@@ -216,26 +218,33 @@ class NavierStokes:
         return self
 
     def _build_cc_statics(self):
-        """Static Cahouet-Chabard data: masked pressure-Laplacian
-        Ap = B diag(M_lumped)^-1 B^T with its coarse inverse and spectral
-        bound (all built once — Ap never changes between steps)."""
-        from navierstokes_tpu.ops import bsr as B
-        from navierstokes_tpu.solvers.schur import (coarse_inverse,
-                                                    coarse_matrix,
-                                                    estimate_lam_max)
+        """Static Cahouet-Chabard data: the masked pressure operator
+        Ap = B diag(mask/M_lumped) B^T is ASSEMBLED on the host into a
+        compact P1 blocked ELL (~5 MB at 1M DoF) — round 1 applied it
+        matrix-free through the G/B block values (~1.3 GB of HBM traffic
+        per application).  Coarse matrix + inverse also host-built."""
+        from navierstokes_tpu.ops.p1ell import (assemble_ap,
+                                                build_block_jacobi_plan,
+                                                coarse_from_ell, ell_matvec)
+        from navierstokes_tpu.solvers.schur import estimate_lam_max
         sp = self.space
         mask_flat = np.asarray(self.bc.mask)[:, 0]
         w = jnp.asarray(mask_flat / self._lumped_host, self.dtype)
         self._ap_w = w
-        self._ap_diag = B.schur_diag(self.ell, w)
-        sc = coarse_matrix(self.ell, self._coarse_plan, w)
-        self._ap_sc_inv = coarse_inverse(sc)
-        sdinv = jnp.where(self._ap_diag != 0, 1.0 / self._ap_diag, 1.0)
-
-        def apply_ap(v):
-            return B.apply_b(self.ell, B.apply_bt(self.ell, v) * w[:, None])
-
-        self._ap_lam = estimate_lam_max(apply_ap, sdinv, sp.n_p1, self.dtype)
+        self._ap = assemble_ap(sp, self._cells_host,
+                               mask_flat / self._lumped_host, self.dtype,
+                               b=self.ell.bp)
+        sc = coarse_from_ell(self._ap, self.config.schur_agg_blocks)
+        n = sc.shape[0]
+        scale = np.abs(np.diag(sc)).mean() + 1e-30
+        self._ap_sc_inv = jnp.asarray(
+            np.linalg.inv(sc + 1e-8 * scale * np.eye(n)), self.dtype)
+        d = self._ap.diag
+        sdinv = jnp.where(d != 0, 1.0 / d, 1.0)
+        self._ap_lam = estimate_lam_max(
+            lambda v: ell_matvec(self._ap, v), sdinv, sp.n_p1, self.dtype)
+        self._bj_plan = build_block_jacobi_plan(
+            self.ell, S=self.config.bj_tile_blocks)
         # lumped pressure mass: row sums of Mp = detJ * measure/(dim+1)
         from navierstokes_tpu.ops.assembly import geometric_factors
         detj, _ = geometric_factors(sp)
@@ -281,10 +290,11 @@ class NavierStokes:
                           scat_v=self.scat_v, scat_p=self.scat_p,
                           faces_obst=self.faces_obst,
                           ap_w=getattr(self, "_ap_w", None),
-                          ap_diag=getattr(self, "_ap_diag", None),
+                          ap=getattr(self, "_ap", None),
                           ap_sc_inv=getattr(self, "_ap_sc_inv", None),
                           ap_lam=getattr(self, "_ap_lam", None),
-                          mp_lumped=getattr(self, "_mp_lumped", None))
+                          mp_lumped=getattr(self, "_mp_lumped", None),
+                          bj_plan=getattr(self, "_bj_plan", None))
 
     def _step_fn(self, params: StepParams, u, p, t_prev, u_prev=None):
         """One semi-implicit step: returns (u_new, p_new, t_new, metrics).
@@ -350,7 +360,34 @@ class NavierStokes:
         b_p = -ag_p
 
         # ---- preconditioner (cpp:344-397 chooses aSIMPLE) ----
-        inner_f = InnerSolve(cfg.inner_tol, cfg.inner_maxiter_f)
+        # F-block approximate solve: block-Jacobi 128x128 tile inverses
+        # (ops/p1ell.py, the TPU ILU(0) replacement) under Richardson or
+        # BiCGStab, else diagonal-scaled BiCGStab.
+        if (cfg.f_precond == "bj" and params.bj_plan is not None
+                and self._operator == "bsr"):
+            from navierstokes_tpu.ops.p1ell import (block_jacobi_apply,
+                                                    block_jacobi_inverse)
+            inv_dtype = (jnp.bfloat16 if cfg.inner_bf16
+                         and self.dtype == jnp.dtype(jnp.float32)
+                         else self.dtype)
+            inv_tiles = block_jacobi_inverse(
+                params.bj_plan, f_cell, mflat, sigma).astype(inv_dtype)
+            pre_f = lambda r: block_jacobi_apply(params.bj_plan, inv_tiles, r)
+        else:
+            pre_f = lambda r: r * dinv
+
+        if cfg.f_solver == "richardson":
+            def solve_f(rhs):
+                x = pre_f(rhs)
+                for _ in range(cfg.inner_maxiter_f - 1):
+                    x = x + pre_f(rhs - apply_F(x))
+                return x
+
+            inner_f = lambda op, rhs, pre=None: solve_f(rhs)
+        else:
+            _inner_f = InnerSolve(cfg.inner_tol, cfg.inner_maxiter_f,
+                                  method=cfg.f_solver)
+            inner_f = lambda op, rhs, pre=None: _inner_f(op, rhs, pre_f)
         inner_s = InnerSolve(cfg.inner_tol, cfg.inner_maxiter_s)
 
         def vcycle_s(node_weights, diag_s):
@@ -378,16 +415,18 @@ class NavierStokes:
                                       lam_max=lam)
 
         if cfg.preconditioner in ("cc", "pcd") and self._operator == "bsr":
+            from navierstokes_tpu.ops.p1ell import ell_matvec
             from navierstokes_tpu.solvers.preconditioners import (
                 make_cahouet_chabard, make_pcd)
             from navierstokes_tpu.solvers.schur import make_vcycle_solver
-            wap = params.ap_w
 
             def apply_ap(v):
-                return apply_B(apply_Bt(v) * wap[:, None])
+                # host-assembled Ap (P1 blocked ELL, ~5 MB) — NOT the
+                # matrix-free B(w B^T v) which streams the full G/B blocks
+                return ell_matvec(params.ap, v)
 
             solve_ap = make_vcycle_solver(
-                apply_ap, params.ap_diag, self._coarse_plan,
+                apply_ap, params.ap.diag, self._coarse_plan,
                 params.ap_sc_inv, n_cycles=cfg.schur_vcycles,
                 smooth_k=cfg.schur_smooth_k, lam_max=params.ap_lam)
             if cfg.preconditioner == "pcd":

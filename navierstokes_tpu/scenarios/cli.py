@@ -36,8 +36,15 @@ def _add_common(p):
     p.add_argument("--mesh", type=str, default=None,
                    help="gmsh .msh path (overrides the native generator)")
     p.add_argument("--dtype", type=str, default="float32")
-    p.add_argument("--preconditioner", type=str, default="asimple",
-                   choices=["identity", "asimple", "ayosida"])
+    # default/choices follow SolverConfig so the CLI reaches the same
+    # performance path as the library (round-1 gap: 'cc'/'pcd' missing)
+    p.add_argument("--preconditioner", type=str,
+                   default=SolverConfig.preconditioner,
+                   choices=["identity", "asimple", "ayosida", "cc", "pcd"])
+    p.add_argument("--operator", type=str, default=SolverConfig.operator,
+                   choices=["bsr", "ell", "cells"])
+    p.add_argument("--n-devices", type=int, default=SolverConfig.n_devices,
+                   help="0 = all visible devices, 1 = single device")
     p.add_argument("--output-dir", type=str, default="output")
     p.add_argument("--cache-dir", type=str, default="cache")
     p.add_argument("--csv", type=str, default="forces_vs_time.csv")
@@ -45,6 +52,7 @@ def _add_common(p):
 
 def _build(args, name, mesh_kwargs=None):
     cfg = SolverConfig(dtype=args.dtype, preconditioner=args.preconditioner,
+                       operator=args.operator, n_devices=args.n_devices,
                        output_dir=args.output_dir, cache_dir=args.cache_dir,
                        csv_path=args.csv)
     overrides = {}
