@@ -166,7 +166,7 @@ class SolverConfig:
     # Numerics
     dtype: str = "float32"        # compute dtype on device
     # Operator realization:
-    #   "bsr"   — block-sparse-row over RCM-ordered node blocks: few wide
+    #   "bsr"   — block-sparse-row over Hilbert-ordered node blocks: few wide
     #             gathers + batched small matmuls per matvec, per-step
     #             assembly via one presorted segment-sum (fastest; default)
     #   "ell"   — per-node graph: one (n, K)-row gather per matvec

@@ -113,17 +113,17 @@ class TaylorHoodSpace:
         self._edge_key_sorted = uniq  # sorted by construction (np.unique)
         self._edge_verts = np.stack([ea, eb], axis=1)   # (n_edges, 2)
 
-        # node-id maps (identity unless RCM renumbering below)
+        # node-id maps (identity unless spatial renumbering below)
         self._vertex_node = np.arange(mesh.n_points, dtype=np.int64)
         self._edge_node = mesh.n_points + np.arange(self.n_edges,
                                                     dtype=np.int64)
         if rcm:
-            self._rcm_p2()
+            self._reorder_p2()
 
         # boundary face -> (cell, local facet)
         self._bf_cells, self._bf_locals = mesh.match_boundary_faces()
 
-    def _rcm_p2(self):
+    def _reorder_p2(self):
         """Morton-order the P2 nodes by their coordinates.
 
         Vertices and edge midpoints interleave along the same space-filling

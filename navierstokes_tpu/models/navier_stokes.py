@@ -91,6 +91,9 @@ class StepParams:
     ap_lam: object          # lambda_max estimate for Ap smoothing
     mp_lumped: object       # (n_p1,) lumped pressure mass
     bj_plan: object         # BlockJacobiPlan | None (F tile preconditioner)
+    # forcing-term quadrature data (None unless a forcing fn is set):
+    forcing_xq: object      # (nc, n_q, dim) physical quadrature points
+    forcing_w: object       # (nc, n_q, n_a) qw*phi_a*detJ scatter weights
 
 
 class NavierStokes:
@@ -103,12 +106,18 @@ class NavierStokes:
                  degree_pressure: int = 1, deltat: float = 0.01,
                  T: float = 1.0, step: int = 10,
                  inlet: InletConfig | None = None,
-                 config: SolverConfig | None = None):
+                 config: SolverConfig | None = None,
+                 forcing=None):
         self.config = config or SolverConfig()
         self.config.deltat = deltat
         self.config.t_final = T
         self.config.output_step = step
         self.inlet = inlet or InletConfig()
+        # ForcingTerm hook (src/NavierStokes.hpp:56-65, integrand
+        # cpp:240-243; identically zero in the reference): a jax-traceable
+        # ``f(x (m, dim), t) -> (m, dim)`` evaluated at quadrature points
+        # inside the jitted step.
+        self.forcing = forcing
         self.degree_velocity = degree_velocity
         self.degree_pressure = degree_pressure
         self._mesh_source = mesh
@@ -140,7 +149,7 @@ class NavierStokes:
         else:
             self.mesh = read_msh(str(self._mesh_source))
         # bandwidth-reducing node order keeps blocked operators compact
-        self.mesh.reorder_rcm()
+        self.mesh.reorder_spatial()
         self.space = TaylorHoodSpace(self.mesh, self.degree_velocity,
                                      self.degree_pressure)
         sp = self.space
@@ -163,10 +172,14 @@ class NavierStokes:
         np.add.at(lm, np.asarray(sp.cell_p2).reshape(-1), rows.reshape(-1))
         self._lumped_host = lm
 
-        # distribution: shard cells over the device mesh when requested
+        # distribution: shard the operator over the device mesh when
+        # requested.  The production (BSR) path is GSPMD-sharded: block
+        # rows partitioned, DoF vectors replicated, XLA inserts the
+        # collectives.  The legacy cells path keeps its explicit
+        # shard_map formulation.
         n_dev = cfg.n_devices if cfg.n_devices > 0 else 1
         self.scat_v = self.scat_p = None
-        if n_dev > 1:
+        if n_dev > 1 and cfg.operator != "bsr":
             self.shard_mesh = device_mesh(n_dev)
             self._operator = "cells"
             self.cells, self.scat_v, self.scat_p, _ = shard_problem(
@@ -175,15 +188,18 @@ class NavierStokes:
         elif cfg.operator == "bsr":
             from navierstokes_tpu.ops.bsr import BsrOps, build_bsr
             from navierstokes_tpu.solvers.schur import build_coarse_plan
-            self.shard_mesh = None
+            self.shard_mesh = device_mesh(n_dev) if n_dev > 1 else None
             self._operator = "bsr"
             blk = cfg.bsr_block or None
             self.ell = build_bsr(sp, cells_host, dtype=self.dtype,
-                                 bu=blk, bp=blk)
+                                 bu=blk, bp=blk,
+                                 row_multiple=n_dev if n_dev > 1 else 1)
             self._ops = BsrOps()
             self._coarse_plan = build_coarse_plan(self.ell,
                                                   cfg.schur_agg_blocks)
             self._build_cc_statics()
+            if self.shard_mesh is not None:
+                self._apply_gspmd_sharding()
         elif cfg.operator == "ell":
             from navierstokes_tpu.ops.ell import EllOps, build_ell
             self.shard_mesh = None
@@ -204,6 +220,23 @@ class NavierStokes:
         self.faces_obst = (build_face_arrays(sp, TAG_OBSTACLE, self.dtype)
                            if TAG_OBSTACLE in tags else None)
 
+        # forcing-term quadrature data: physical quad points + scatter
+        # weights, precomputed once so the per-step forcing integral
+        # (cpp:240-243) is a fused multiply + segment_sum inside the jit
+        self._forcing_xq = self._forcing_w = self._forcing_scat = None
+        if self.forcing is not None:
+            from navierstokes_tpu.ops.assembly import geometric_factors
+            detj, _ = geometric_factors(sp)
+            verts = sp.mesh.points[sp.mesh.cells]       # (nc, dim+1, dim)
+            qp = sp.rs.qp
+            lam0 = 1.0 - qp.sum(axis=1)
+            bary = np.concatenate([lam0[:, None], qp], axis=1)
+            xq = np.einsum("qk,ckd->cqd", bary, verts)  # (nc, n_q, dim)
+            wq = np.einsum("q,qa,c->cqa", sp.rs.qw, sp.rs.phi_v, detj)
+            self._forcing_xq = jnp.asarray(xq, self.dtype)
+            self._forcing_w = jnp.asarray(wq, self.dtype)
+            self._forcing_scat = build_scatter(sp.cell_p2, sp.n_p2)
+
         # constant Neumann RHS (p_out, cpp:257-278); zero when p_out == 0
         if self.faces_out is not None and cfg.p_out != 0.0:
             scat = build_scatter(
@@ -216,6 +249,40 @@ class NavierStokes:
         self._chunks = {}
         self._is_setup = True
         return self
+
+    def _apply_gspmd_sharding(self):
+        """Distribute the BSR fast path over the device mesh — the TPU
+        equivalent of the reference's MPI domain decomposition
+        (src/NavierStokes.cpp:19-23, 292-294), GSPMD style: the operator's
+        block rows (and the per-cell convection inputs) are sharded over
+        the 1-D mesh axis; DoF vectors stay replicated (a few MB at the
+        target scales); XLA's SPMD partitioner inserts the collectives
+        (all-gather of row-sharded matvec outputs, reductions for the
+        per-step assembly scatter) — no hand-written communication."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        row = NamedSharding(self.shard_mesh, P("cells"))
+        put = lambda a: jax.device_put(a, row)
+        put_tree = lambda t: jax.tree.map(put, t)
+
+        e = self.ell
+        self.ell = dataclasses.replace(
+            e,
+            # per-cell convection inputs + slot scatter
+            cell_p2=put(e.cell_p2), cell_p1=put(e.cell_p1),
+            detj=put(e.detj), jinv=put(e.jinv),
+            conv_slot_scatter=put_tree(e.conv_slot_scatter),
+            pp_slot_scatter=put_tree(e.pp_slot_scatter),
+            # block graphs + static values, sharded by block row
+            f_cols=put(e.f_cols), m_blk=put(e.m_blk), k_blk=put(e.k_blk),
+            g_cols=put(e.g_cols), g_blk=put(e.g_blk),
+            b_cols=put(e.b_cols), b_blk=put(e.b_blk),
+            pp_cols=put(e.pp_cols),
+        )
+        # The pressure-side statics (assembled Ap, coarse inverse, BJ tile
+        # plan, diag_idx) are a few MB at the target scales — left
+        # replicated; XLA partitions their per-step consumers as it sees
+        # fit.  Sharding them would need their own row padding for no
+        # measurable memory win.
 
     def _build_cc_statics(self):
         """Static Cahouet-Chabard data: the masked pressure operator
@@ -294,7 +361,9 @@ class NavierStokes:
                           ap_sc_inv=getattr(self, "_ap_sc_inv", None),
                           ap_lam=getattr(self, "_ap_lam", None),
                           mp_lumped=getattr(self, "_mp_lumped", None),
-                          bj_plan=getattr(self, "_bj_plan", None))
+                          bj_plan=getattr(self, "_bj_plan", None),
+                          forcing_xq=getattr(self, "_forcing_xq", None),
+                          forcing_w=getattr(self, "_forcing_w", None))
 
     def _step_fn(self, params: StepParams, u, p, t_prev, u_prev=None):
         """One semi-implicit step: returns (u_new, p_new, t_new, metrics).
@@ -355,6 +424,12 @@ class NavierStokes:
         factor = self._time_factor(t_new).astype(self.dtype)
         g = bc.lift(factor)                             # lifted Dirichlet
         b_u = ops.mass_apply(params, u) / dt + params.rhs_neumann
+        if self.forcing is not None:
+            xq = params.forcing_xq
+            fq = self.forcing(xq.reshape(-1, self.dim), t_new)
+            fq = jnp.asarray(fq, self.dtype).reshape(xq.shape)
+            r_c = jnp.einsum("cqa,cqd->cad", params.forcing_w, fq)
+            b_u = b_u + self._forcing_scat(r_c.reshape(-1, self.dim))
         ag_u, ag_p = ops.apply_blocks(params, f_cell, g, zero_p)
         b_u = (b_u - ag_u) * mask + sigma * g
         b_p = -ag_p
@@ -483,8 +558,10 @@ class NavierStokes:
         if params.faces_obst is not None:
             drag, lift = drag_lift(params.faces_obst, u_new, p_new,
                                    params.nu, formula=cfg.force_formula)
-            u_mean = params.u_mean0 * self._time_factor(t_new)
-            cd, cl = force_coefficients(drag, lift, u_mean,
+            # reference parity: get_mean_vel() is evaluated WITHOUT the
+            # pulsation factor (src/NavierStokes.cpp:911 has it commented
+            # out) — also avoids dividing by ~0 when sin(pi t/T) ~ 0
+            cd, cl = force_coefficients(drag, lift, params.u_mean0,
                                         cfg.ref_length, self.dim,
                                         cfg.span_3d)
         else:
@@ -523,12 +600,22 @@ class NavierStokes:
         """Expose the assembled operator at a given time (testing /
         introspection parity with cpp:133-330).  Format depends on the
         operator realization: per-cell element matrices ('cells') or
-        node-graph ELL values ('ell')."""
+        graph values ('ell'/'bsr').  Callable any time after setup()
+        (state lazily zero-initialized, matching the reference where
+        assemble() precedes the first solve); ``time`` is recorded so a
+        following solve_time_step() uses the inlet BC factor at
+        ``time + dt`` exactly as the reference's loop does."""
+        if not hasattr(self, "_u"):
+            self._init_state(0)
+        self.time = float(time)
         params = self._params()
         return params.a0_cell + self._ops.convection(params, self._u)
 
     def solve_time_step(self):
-        """Advance exactly one step (parity with cpp:344-397)."""
+        """Advance exactly one step (parity with cpp:344-397).  Usable
+        straight after setup() — state is lazily zero-initialized."""
+        if not hasattr(self, "_u"):
+            self._init_state(0)
         run = self._chunk_fn(1)
         self._u, self._p, self._u_prev, t, ms = run(
             self._params(), self._u, self._p, self._u_prev,
@@ -567,6 +654,29 @@ class NavierStokes:
             self._u_prev = jnp.asarray(np.array(up), self.dtype)
             print(f"Continuing execution from time step {time_step}")
 
+    def _measure_prec_init(self, params) -> float:
+        """On-device timing of the per-step preconditioner (re)build — the
+        analogue of the reference's aSIMPLE initialize span (cpp:383-386).
+        For the block-Jacobi F preconditioner this is the batched tile
+        inversion; other configurations rebuild nothing per step (their
+        setup is static) and report 0."""
+        cfg = self.config
+        if not (cfg.f_precond == "bj" and self._operator == "bsr"
+                and getattr(self, "_bj_plan", None) is not None):
+            return 0.0
+        try:
+            from navierstokes_tpu.ops.p1ell import block_jacobi_inverse
+            mflat = self.bc.mask[:, 0]
+            sigma = jnp.asarray(1.0, self.dtype)
+            fn = jax.jit(lambda fc: block_jacobi_inverse(
+                params.bj_plan, fc, mflat, sigma))
+            jax.block_until_ready(fn(params.a0_cell))      # compile
+            t0 = _walltime.perf_counter()
+            jax.block_until_ready(fn(params.a0_cell))
+            return _walltime.perf_counter() - t0
+        except Exception:
+            return 0.0
+
     def solve(self, time_step: int = 0, csv_path: str | None = None):
         """Full time loop (parity with cpp:439-499): ICs or restart, then
         chunked stepping with csv + VTU + checkpoint every output_step."""
@@ -581,6 +691,7 @@ class NavierStokes:
 
         csv = ForcesCsv(csv_path or cfg.csv_path)
         params = self._params()
+        t_prec = self._measure_prec_init(params)
         ts = time_step
         done = 0
         # Adaptive chunking: the TPU runtime kills any single program
@@ -605,8 +716,14 @@ class NavierStokes:
             # quantize to powers of two to bound the number of compiled
             # chunk-length variants (persistent cache covers reruns)
             k_auto = 1 << (k_raw.bit_length() - 1)
+            # reference csv schema (cpp:383-390): time_prec_init = the
+            # per-step preconditioner (re)build, time_sol = the rest of the
+            # step.  The whole step is one fused XLA program here, so the
+            # build cost is measured once on-device (_measure_prec_init)
+            # and the solve share is wall-per-step minus it.
+            t_sol = max(per_step - t_prec, 0.0)
             for i in range(k):
-                csv.row(ms.time[i], dt, ms.iterations[i], 0.0, per_step,
+                csv.row(ms.time[i], dt, ms.iterations[i], t_prec, t_sol,
                         ms.drag[i], ms.lift[i], ms.cd[i], ms.cl[i])
             self._record(ms, idx=-1)
             done += k
@@ -650,12 +767,11 @@ class NavierStokes:
 
     def compute_forces(self, time: float | None = None):
         """Force recomputation on the current state (cpp:831-929)."""
-        t = self.time if time is None else time
         drag, lift = drag_lift(self.faces_obst, self._u, self._p, self.nu,
                                formula=self.config.force_formula)
-        u_mean = (self.inlet.steady_mean_velocity()
-                  * float(self._time_factor(jnp.asarray(t, self.dtype))))
-        cd, cl = force_coefficients(float(drag), float(lift), u_mean,
+        # no pulsation factor: reference get_mean_vel() parity (cpp:911)
+        cd, cl = force_coefficients(float(drag), float(lift),
+                                    self.inlet.steady_mean_velocity(),
                                     self.config.ref_length, self.dim,
                                     self.config.span_3d)
         self.drag, self.lift = float(drag), float(lift)

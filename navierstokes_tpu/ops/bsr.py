@@ -6,7 +6,7 @@ Design, driven by measured v5e characteristics (see git history):
   * segment-sum scatter is far slower than gathers, so it may run once per
     time step (assembly) but never per matvec.
 
-With RCM-ordered nodes (mesh/geometry.py reorder_rcm) grouped into blocks
+With Hilbert-ordered nodes (mesh/geometry.py reorder_spatial) grouped into blocks
 of ``bu`` (velocity) / ``bp`` (pressure), each block row couples to only a
 handful of neighbor blocks.  The monolithic operator becomes:
 
@@ -95,9 +95,16 @@ def _block_pairs(rows, cols, bu, bv, n_rb):
 
 
 def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
-              bu: int | None = None, bp: int | None = None) -> BsrData:
+              bu: int | None = None, bp: int | None = None,
+              row_multiple: int = 1) -> BsrData:
     """Host construction.  ``cells`` = numpy CellArrays
-    (assembly.cell_arrays_numpy)."""
+    (assembly.cell_arrays_numpy).
+
+    ``row_multiple``: round the block-row counts (and the cell count) up to
+    a multiple — required for even device_put sharding over an N-device
+    mesh (models/navier_stokes._apply_gspmd_sharding).  Padding block rows
+    have zero values and column 0; padding cells have zero detj/jinv and
+    scatter into a dead slot, so they contribute nothing."""
     dim = space.dim
     bu = bu or (16 if dim == 2 else 8)
     bp = bp or bu
@@ -106,8 +113,10 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
     cp1 = np.asarray(space.cell_p1, dtype=np.int64)
     nc, nv = cp2.shape
     npp = cp1.shape[1]
-    n_vb = -(-n_p2 // bu)
-    n_pb = -(-n_p1 // bp)
+    rup = lambda n: -(-n // row_multiple) * row_multiple
+    nc_pad = rup(nc) - nc
+    n_vb = rup(-(-n_p2 // bu))
+    n_pb = rup(-(-n_p1 // bp))
 
     # ---- F block graph ----------------------------------------------------
     rows = np.repeat(cp2, nv, axis=1).reshape(-1)
@@ -121,7 +130,13 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
     slot = ((I * KB + kb) * bu + rows % bu) * bu + (cols % bu)
 
     n_slots = n_vb * KB * bu * bu
-    conv_plan = build_scatter(slot.astype(np.int64).reshape(-1, 1), n_slots)
+    slot_all = slot.astype(np.int64)
+    if nc_pad:
+        # padding cells scatter their (zero) contributions into the last
+        # slot, which belongs to a padding block row — never read back
+        slot_all = np.concatenate(
+            [slot_all, np.full(nc_pad * nv * nv, n_slots - 1, np.int64)])
+    conv_plan = build_scatter(slot_all.reshape(-1, 1), n_slots)
 
     def reduce_blk(elem_vals):
         out = np.zeros(n_slots)
@@ -186,13 +201,26 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
     pkb = pk_of[ppos]
     PI = p_rows // bp
     pp_slot = ((PI * KPP + pkb) * bp + p_rows % bp) * bp + (p_cols_flat % bp)
-    pp_plan = build_scatter(pp_slot.astype(np.int64).reshape(-1, 1),
-                            n_pb * KPP * bp * bp)
+    pp_slot_all = pp_slot.astype(np.int64)
+    n_pp_slots = n_pb * KPP * bp * bp
+    if nc_pad:
+        pp_slot_all = np.concatenate(
+            [pp_slot_all,
+             np.full(nc_pad * npp * npp, n_pp_slots - 1, np.int64)])
+    pp_plan = build_scatter(pp_slot_all.reshape(-1, 1), n_pp_slots)
+
+    def pad_cells(a, n_extra):
+        a = np.asarray(a)
+        if not n_extra:
+            return a
+        return np.concatenate(
+            [a, np.zeros((n_extra,) + a.shape[1:], a.dtype)], axis=0)
 
     f = lambda x: jnp.asarray(x, dtype)
     return BsrData(
-        cell_p2=jnp.asarray(np.asarray(space.cell_p2)),
-        detj=f(cells.detj), jinv=f(cells.jinv),
+        cell_p2=jnp.asarray(pad_cells(space.cell_p2, nc_pad)),
+        detj=f(pad_cells(cells.detj, nc_pad)),
+        jinv=f(pad_cells(cells.jinv, nc_pad)),
         t_hat=f(space.rs.T_hat),
         conv_slot_scatter=conv_plan,
         f_cols=jnp.asarray(f_cols.astype(np.int32)),
@@ -203,7 +231,7 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
         pp_cols=jnp.asarray(pp_cols.astype(np.int32)),
         pp_slot_scatter=pp_plan,
         tp_hat=f(space.rs.Tp_hat),
-        cell_p1=jnp.asarray(np.asarray(space.cell_p1)),
+        cell_p1=jnp.asarray(pad_cells(space.cell_p1, nc_pad)),
         n_p2=n_p2, n_p1=n_p1, bu=bu, bp=bp,
     )
 

@@ -123,7 +123,14 @@ def schur_diag(cells: CellArrays, node_weights: jax.Array,
     """Diagonal of S = B W B^T with W = diag(node_weights) per velocity node:
     diag_S[j] = sum_{c,a,d} grad[c,a,d,j]^2 * w[node(c,a)].  Used as the
     Jacobi scale of the inner Schur solves — the TPU stand-in for the
-    reference's ILU(S) (src/NavierStokes.cpp:959)."""
+    reference's ILU(S) (src/NavierStokes.cpp:959).
+
+    NOTE: this cells-path value is an APPROXIMATION — it sums squares of
+    per-cell contributions, so for velocity nodes shared by several cells
+    it under-counts the cross-cell products of the true assembled
+    diag(B W B^T).  The BSR path (ops/bsr.py schur_diag) computes the
+    exact assembled version; preconditioner quality only, never affects
+    the converged solution."""
     w_c = jnp.take(node_weights.reshape(-1), cells.cell_p2, axis=0)  # (nc,n_v)
     contrib = jnp.einsum("cadj,cadj,ca->cj", cells.grad, cells.grad, w_c)
     return scat_p_diag(contrib.reshape(-1))

@@ -113,3 +113,53 @@ def test_pulsating_inlet(coarse_mesh, tmp_path):
     expect = (4 * 1.5 * y * (0.41 - y) / 0.41 ** 2
               * np.sin(np.pi * 0.02 / 8.0))
     np.testing.assert_allclose(u[inlet_nodes, 0], expect, atol=1e-9)
+
+
+def test_forcing_term_wired(coarse_mesh, tmp_path):
+    """The ForcingTerm hook (src/NavierStokes.hpp:56-65, integrand
+    cpp:240-243) enters the NS step RHS: a run with forcing f equals a
+    run whose constant RHS is augmented by the host-assembled forcing
+    integral."""
+    import jax.numpy as jnp
+    from navierstokes_tpu.ops.assembly import forcing_rhs
+
+    def f(x, t):
+        return jnp.stack([jnp.ones(x.shape[0]), 0.5 * x[:, 0]], axis=1)
+
+    ns1 = _make(coarse_mesh, str(tmp_path / "a"), T=0.02, step=2).setup()
+    ns1.forcing = None
+    ns2 = NavierStokes(coarse_mesh, 2, 1, deltat=0.01, T=0.02, step=2,
+                       inlet=InletConfig(kind="parabolic", u_m=0.3,
+                                         height=0.41),
+                       config=SolverConfig(
+                           dtype="float64",
+                           output_dir=str(tmp_path / "b/out"),
+                           cache_dir=str(tmp_path / "b/cache"),
+                           csv_path=str(tmp_path / "b/forces.csv")),
+                       forcing=f)
+    ns2.set_re_number(20)
+    ns2.setup()
+    # manual equivalent: fold the (time-constant) forcing integral into
+    # the constant Neumann RHS of the forcing-free solver
+    import numpy as np
+    r = forcing_rhs(ns1.space, lambda x, t: np.stack(
+        [np.ones(x.shape[0]), 0.5 * x[:, 0]], axis=1))
+    ns1.setup()
+    ns1.rhs_neumann = ns1.rhs_neumann + jnp.asarray(r, ns1.dtype)
+    ns1.solve()
+    ns2.solve()
+    np.testing.assert_allclose(np.asarray(ns2._u), np.asarray(ns1._u),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ns2._p), np.asarray(ns1._p),
+                               atol=1e-10)
+
+
+def test_assemble_and_step_before_solve(coarse_mesh, tmp_path):
+    """assemble(time) and solve_time_step() are callable straight after
+    setup() (reference usage, cpp:483-485) — no prior solve() needed."""
+    ns = _make(coarse_mesh, str(tmp_path)).setup()
+    vals = ns.assemble(0.0)
+    assert np.all(np.isfinite(np.asarray(vals)))
+    m = ns.solve_time_step()
+    assert float(m.residual) < 1e-5
+    assert ns.time == pytest.approx(0.01)

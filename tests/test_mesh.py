@@ -110,3 +110,30 @@ def test_taylor_hood_space(dim):
     # total outlet measure
     measure = 1.0 if dim == 2 else 1.0
     np.testing.assert_allclose(fd.jxw.sum(), measure, atol=1e-12)
+
+
+def test_read_gmsh_v41_fixture():
+    """Parse a vendored gmsh-4.1-structured file ($PhysicalNames, $Entities
+    with per-curve physical tags, multi-block $Nodes with non-contiguous
+    ids, point-element block, per-curve line blocks) — the real
+    GridIn::read_msh input shape (reference src/NavierStokes.cpp:11-17),
+    not just round-trips of our own v2.2 writer."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "domain2d_gmsh41.msh")
+    mesh = read_msh(path)
+    assert mesh.dim == 2
+    assert mesh.n_points == 317
+    assert mesh.n_cells == 522
+    assert mesh.n_boundary_faces == 112
+    assert sorted(set(mesh.boundary_tags.tolist())) == [0, 1, 2, 3, 4]
+    # total area: channel minus cylinder (value recorded at generation)
+    v = mesh.points[mesh.cells]
+    area = np.abs(np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])).sum() / 2
+    np.testing.assert_allclose(area, 0.894235428647, rtol=1e-9)
+    # orientation normalized on read
+    assert np.all(np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]) > 0)
+    # usable downstream: Taylor-Hood space builds
+    from navierstokes_tpu.fem.spaces import TaylorHoodSpace
+    sp = TaylorHoodSpace(mesh, 2, 1)
+    assert sp.n_dofs == 2 * sp.n_p2 + sp.n_p1
