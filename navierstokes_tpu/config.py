@@ -152,11 +152,17 @@ class SolverConfig:
     #              rebuilt per step; the ILU(0) replacement — ops/p1ell.py)
     #   "jacobi" — diagonal scaling only
     f_precond: str = "bj"
-    # F-solve strategy: "richardson" = inner_maxiter_f preconditioned
-    # Richardson sweeps (no dot products — cheapest per iteration);
-    # "bicgstab" = Krylov inner solve (2 matvecs/iter).
-    f_solver: str = "richardson"
+    # F-solve strategy: "bicgstab" = Krylov inner solve (2 matvecs/iter);
+    # "richardson" = inner_maxiter_f preconditioned Richardson sweeps
+    # (cheapest per sweep but MEASURED UNSTABLE at the bench operating
+    # point, CFL~8: outer FGMRES stalls at res ~3e-3 — scripts/exp_iters.py)
+    f_solver: str = "bicgstab"
     bj_tile_blocks: int = 8       # BSR block-rows per block-Jacobi tile
+    # Planar (lane-major) F-matvec layout (ops/bsr.py apply_f_planar).
+    # MEASURED 3x SLOWER end-to-end on v5e at 1M DoF (the per-matvec
+    # operand transposes dominate); kept as an option for future Mosaic
+    # versions / a Pallas kernel that fuses the transpose.
+    planar_f: bool = False
     # Read the F-block values in bfloat16 inside the PRECONDITIONER's inner
     # solves (vectors and accumulation stay fp32).  Measured neutral-to-
     # slightly-slower on v5e (the blocked matvec is compute-lowering-bound,

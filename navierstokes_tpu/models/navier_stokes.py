@@ -191,9 +191,12 @@ class NavierStokes:
             self.shard_mesh = device_mesh(n_dev) if n_dev > 1 else None
             self._operator = "bsr"
             blk = cfg.bsr_block or None
+            # 128 = planar-tile multiple (ops/bsr.py PLANAR_T); lcm with
+            # the device count keeps GSPMD device_put sharding even
+            from navierstokes_tpu.ops.bsr import PLANAR_T
             self.ell = build_bsr(sp, cells_host, dtype=self.dtype,
                                  bu=blk, bp=blk,
-                                 row_multiple=n_dev if n_dev > 1 else 1)
+                                 row_multiple=int(np.lcm(PLANAR_T, n_dev)))
             self._ops = BsrOps()
             self._coarse_plan = build_coarse_plan(self.ell,
                                                   cfg.schur_agg_blocks)
@@ -295,7 +298,10 @@ class NavierStokes:
                                                 coarse_from_ell, ell_matvec)
         from navierstokes_tpu.solvers.schur import estimate_lam_max
         sp = self.space
-        mask_flat = np.asarray(self.bc.mask)[:, 0]
+        # host mask copy — never pull the device array back (tunneled-TPU
+        # transfers cost ~80 s each; profiled round 2)
+        mask_flat = getattr(self.bc, "host_mask",
+                            np.asarray(self.bc.mask))[:, 0]
         w = jnp.asarray(mask_flat / self._lumped_host, self.dtype)
         self._ap_w = w
         self._ap = assemble_ap(sp, self._cells_host,
@@ -387,11 +393,32 @@ class NavierStokes:
         d_bc = d * mflat + sigma * (1.0 - mflat)
         dinv = (1.0 / d_bc)[:, None]
 
+        # planar (lane-major) F values: one relayout per step makes every
+        # F matvec of the solve run at full VPU lane width (ops/bsr.py
+        # planar_relayout) — measured ~2x the matvec throughput on v5e
+        f_planar = None
+        if self._operator == "bsr" and cfg.planar_f:
+            from navierstokes_tpu.ops.bsr import (PLANAR_T, apply_f_planar,
+                                                  planar_relayout)
+            if params.cells.f_cols.shape[0] % PLANAR_T == 0:
+                f_planar = planar_relayout(f_cell)
+
         # ---- BC-masked block operators ----
+        def raw_F(xu):
+            if f_planar is not None:
+                return apply_f_planar(params.cells, f_planar, xu)
+            yu, _ = ops.apply_blocks(params, f_cell, xu, zero_p,
+                                     with_g=False, with_gt=False)
+            return yu
+
         def apply_A(x):
             xu, xp = x
             xum = xu * mask
-            yu, yp = ops.apply_blocks(params, f_cell, xum, xp)
+            if f_planar is not None:
+                yu = raw_F(xum) + apply_Bt_raw(xp)
+                yp = apply_B(xu)
+            else:
+                yu, yp = ops.apply_blocks(params, f_cell, xum, xp)
             yu = yu * mask + sigma * (xu - xum)
             return yu, yp
 
@@ -399,16 +426,24 @@ class NavierStokes:
 
         # low-precision F values for the preconditioner's inner solves
         # (matrix bf16, vectors fp32 -> fp32 accumulation via promotion)
-        if cfg.inner_bf16 and self.dtype == jnp.dtype(jnp.float32):
-            f_inner = f_cell.astype(jnp.bfloat16)
-        else:
-            f_inner = f_cell
+        use_bf16 = (cfg.inner_bf16 and self.dtype == jnp.dtype(jnp.float32))
+        f_inner = f_cell.astype(jnp.bfloat16) if use_bf16 else f_cell
+        f_planar_in = (f_planar.astype(jnp.bfloat16)
+                       if use_bf16 and f_planar is not None else f_planar)
 
         def apply_F(xu):
             xum = xu * mask
-            yu, _ = ops.apply_blocks(params, f_inner, xum, zero_p,
-                                     with_g=False, with_gt=False)
+            if f_planar_in is not None:
+                yu = apply_f_planar(params.cells, f_planar_in, xum)
+            else:
+                yu, _ = ops.apply_blocks(params, f_inner, xum, zero_p,
+                                         with_g=False, with_gt=False)
             return (yu * mask + sigma * (xu - xum)).astype(self.dtype)
+
+        def apply_Bt_raw(xp):
+            yu, _ = ops.apply_blocks(params, f_cell, jnp.zeros_like(u), xp,
+                                     with_f=False, with_gt=False)
+            return yu
 
         def apply_B(xu):
             _, yp = ops.apply_blocks(params, f_cell, xu * mask, zero_p,
@@ -416,9 +451,7 @@ class NavierStokes:
             return yp
 
         def apply_Bt(xp):
-            yu, _ = ops.apply_blocks(params, f_cell, jnp.zeros_like(u), xp,
-                                     with_f=False, with_gt=False)
-            return yu * mask
+            return apply_Bt_raw(xp) * mask
 
         # ---- RHS (cpp:240-278): M u^n/dt + forcing + Neumann, lifted ----
         factor = self._time_factor(t_new).astype(self.dtype)

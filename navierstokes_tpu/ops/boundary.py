@@ -87,5 +87,9 @@ def build_dirichlet(space: TaylorHoodSpace, inlet: InletConfig,
         apply(TAG_OBSTACLE, lambda pts: np.zeros(len(pts)))
 
     mask = (~constrained).astype(np.float64)[:, None]
-    return DirichletBC(mask=jnp.asarray(mask, dtype),
-                       base_values=jnp.asarray(values, dtype))
+    out = DirichletBC(mask=jnp.asarray(mask, dtype),
+                      base_values=jnp.asarray(values, dtype))
+    # host copy (plain attribute): setup-time consumers must not pull the
+    # device array back over a tunneled TPU (~80 s per transfer)
+    out.host_mask = mask
+    return out

@@ -217,7 +217,7 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
             [a, np.zeros((n_extra,) + a.shape[1:], a.dtype)], axis=0)
 
     f = lambda x: jnp.asarray(x, dtype)
-    return BsrData(
+    out = BsrData(
         cell_p2=jnp.asarray(pad_cells(space.cell_p2, nc_pad)),
         detj=f(pad_cells(cells.detj, nc_pad)),
         jinv=f(pad_cells(cells.jinv, nc_pad)),
@@ -234,6 +234,13 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
         cell_p1=jnp.asarray(pad_cells(space.cell_p1, nc_pad)),
         n_p2=n_p2, n_p1=n_p1, bu=bu, bp=bp,
     )
+    # Host copies of the graph tables, used by setup-time consumers
+    # (coarse plan, block-Jacobi plan).  Pulling these back off the device
+    # costs ~80 s EACH over a tunneled TPU; plain attributes (not pytree
+    # fields) so they exist only on the freshly-built instance.
+    out.host_f_cols = f_cols.astype(np.int64)
+    out.host_g_cols = g_cols.astype(np.int64)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -263,7 +270,7 @@ def apply_f(bsr: BsrData, f_blk, xu):
     1M DoF).  The explicit multiply + reduce keeps it on the VPU at memory
     bandwidth."""
     xb = _ublocks(bsr, xu)
-    xg = jnp.take(xb, bsr.f_cols, axis=0)               # (n_vb, KB, bu, dim)
+    xg = jnp.take(xb, bsr.f_cols, axis=0, mode="clip")               # (n_vb, KB, bu, dim)
     if f_blk.dtype == jnp.bfloat16:
         # mixed precision: bf16 value reads (the dominant HBM traffic),
         # fp32 accumulation
@@ -274,9 +281,48 @@ def apply_f(bsr: BsrData, f_blk, xu):
     return y.reshape(-1, xu.shape[1])[:bsr.n_p2].astype(xu.dtype)
 
 
+PLANAR_T = 128  # block rows per planar tile (= VREG lane count)
+
+
+def planar_relayout(f_blk):
+    """(n_vb, K, bu, bu) -> (n_t, K, bu, bu, T) with the block-row tile
+    batch on the MINOR axis.
+
+    Rationale (profiled on v5e at 1M DoF): every elementwise op whose
+    minor axis is the dim-2 velocity component runs at 2/128 VPU-lane
+    utilization.  With the 128-row tile batch minor, the multiply-reduce
+    streams the F values at full lane width.  One relayout per TIME STEP
+    (~461 MB) is amortized over the ~10^3 matvecs of that step's solve."""
+    n_vb, K, bu, _ = f_blk.shape
+    n_t = n_vb // PLANAR_T
+    return f_blk.reshape(n_t, PLANAR_T, K, bu, bu).transpose(0, 2, 3, 4, 1)
+
+
+def apply_f_planar(bsr: BsrData, f_planar, xu):
+    """F matvec with planar (lane-major) values: full-lane VPU reduce.
+
+    f_planar: (n_t, K, bu, bu, T) from planar_relayout (fp32 or bf16).
+    Requires n_vb % PLANAR_T == 0 (build_bsr row_multiple)."""
+    n_t = f_planar.shape[0]
+    K = f_planar.shape[1]
+    xb = _ublocks(bsr, xu)                              # (n_vb, bu, d)
+    xg = jnp.take(xb, bsr.f_cols, axis=0, mode="clip")  # (n_vb, K, bu, d)
+    d = xg.shape[-1]
+    xg = xg.reshape(n_t, PLANAR_T, K, bsr.bu, d).transpose(0, 2, 3, 4, 1)
+    if f_planar.dtype == jnp.bfloat16:
+        prod = (f_planar[:, :, :, :, None, :]
+                * xg.astype(jnp.bfloat16)[:, :, None, :, :, :])
+        y = prod.astype(jnp.float32).sum(axis=(1, 3))   # (n_t, bu, d, T)
+    else:
+        y = (f_planar[:, :, :, :, None, :]
+             * xg[:, :, None, :, :, :]).sum(axis=(1, 3))
+    y = y.transpose(0, 3, 1, 2).reshape(-1, d)[:bsr.n_p2]
+    return y.astype(xu.dtype)
+
+
 def apply_bt(bsr: BsrData, p):
     pb = _pblocks(bsr, p)
-    pg = jnp.take(pb, bsr.g_cols, axis=0)               # (n_vb, KG, bp)
+    pg = jnp.take(pb, bsr.g_cols, axis=0, mode="clip")               # (n_vb, KG, bp)
     g = bsr.g_blk                                       # (n_vb,KG,dim,bu,bp)
     if g.dtype == jnp.bfloat16:
         prod = g * pg.astype(jnp.bfloat16)[:, :, None, None, :]
@@ -290,7 +336,7 @@ def apply_bt(bsr: BsrData, p):
 
 def apply_b(bsr: BsrData, xu):
     ub = _ublocks(bsr, xu)
-    ug = jnp.take(ub, bsr.b_cols, axis=0)               # (n_pb, KBb, bu, dim)
+    ug = jnp.take(ub, bsr.b_cols, axis=0, mode="clip")               # (n_pb, KBb, bu, dim)
     b = bsr.b_blk                                       # (n_pb,KBb,dim,bp,bu)
     ugt = jnp.swapaxes(ug, 2, 3)                        # (n_pb, KBb, dim, bu)
     if b.dtype == jnp.bfloat16:
@@ -302,7 +348,7 @@ def apply_b(bsr: BsrData, xu):
 
 
 def f_diag(bsr: BsrData, f_blk):
-    return jnp.take(f_blk.reshape(-1), bsr.diag_idx)
+    return jnp.take(f_blk.reshape(-1), bsr.diag_idx, mode="clip")
 
 
 def mass_apply(bsr: BsrData, u):
@@ -311,7 +357,7 @@ def mass_apply(bsr: BsrData, u):
 
 def schur_diag(bsr: BsrData, node_weights):
     wb = _ublocks(bsr, node_weights[:, None])[..., 0]   # (n_vb, bu)
-    wg = jnp.take(wb, bsr.b_cols, axis=0)               # (n_pb, KBb, bu)
+    wg = jnp.take(wb, bsr.b_cols, axis=0, mode="clip")               # (n_pb, KBb, bu)
     z = jnp.einsum("nkdab,nkdab,nkb->na", bsr.b_blk, bsr.b_blk, wg)
     return z.reshape(-1)[:bsr.n_p1]
 
@@ -320,7 +366,7 @@ def pressure_convection_blk(bsr: BsrData, u):
     """Per-step pressure-space convection N_p(u) in blocked form:
     (n_pb, KPP, bp, bp).  np_ij = int psi_i (u . grad psi_j) — the moving
     part of the PCD preconditioner's Fp operator."""
-    u_c = jnp.take(u, bsr.cell_p2, axis=0)              # (nc, n_v, dim)
+    u_c = jnp.take(u, bsr.cell_p2, axis=0, mode="clip")              # (nc, n_v, dim)
     w = jnp.einsum("cxd,ced->cxe", bsr.jinv, u_c) * bsr.detj[:, None, None]
     np_elem = jnp.einsum("ijxe,cxe->cij", bsr.tp_hat, w)
     vals = bsr.pp_slot_scatter(np_elem.reshape(-1, 1))
@@ -331,7 +377,7 @@ def pressure_convection_blk(bsr: BsrData, u):
 def apply_pp(bsr: BsrData, pp_blk, xp):
     """Pressure-graph matvec: (n_p1,) -> (n_p1,)."""
     pb = _pblocks(bsr, xp)
-    pg = jnp.take(pb, bsr.pp_cols, axis=0)              # (n_pb, KPP, bp)
+    pg = jnp.take(pb, bsr.pp_cols, axis=0, mode="clip")              # (n_pb, KPP, bp)
     if pp_blk.dtype == jnp.bfloat16:
         prod = pp_blk * pg.astype(jnp.bfloat16)[:, :, None, :]
         z = prod.astype(jnp.float32).sum(axis=(1, 3)).astype(xp.dtype)

@@ -195,19 +195,19 @@ class _CellView:
 
 def apply_f(ell: EllData, f_vals: jax.Array, xu: jax.Array) -> jax.Array:
     """(n_p2, dim) -> (n_p2, dim): y[i,d] = sum_k f_vals[i,k] x[cols[i,k],d]."""
-    xg = jnp.take(xu, ell.f_cols, axis=0)               # (n_p2, K, dim)
+    xg = jnp.take(xu, ell.f_cols, axis=0, mode="clip")               # (n_p2, K, dim)
     return jnp.einsum("ik,ikd->id", f_vals, xg)
 
 
 def apply_bt(ell: EllData, xp: jax.Array) -> jax.Array:
     """G p: (n_p1,) -> (n_p2, dim)."""
-    pg = jnp.take(xp, ell.g_cols, axis=0)               # (n_p2, Kg)
+    pg = jnp.take(xp, ell.g_cols, axis=0, mode="clip")               # (n_p2, Kg)
     return jnp.einsum("ikd,ik->id", ell.g_vals, pg)
 
 
 def apply_b(ell: EllData, xu: jax.Array) -> jax.Array:
     """G^T u: (n_p2, dim) -> (n_p1,)."""
-    ug = jnp.take(xu, ell.b_cols, axis=0)               # (n_p1, Kb, dim)
+    ug = jnp.take(xu, ell.b_cols, axis=0, mode="clip")               # (n_p1, Kb, dim)
     return jnp.einsum("jkd,jkd->j", ell.b_vals, ug)
 
 
@@ -217,13 +217,13 @@ def f_diag(ell: EllData, f_vals: jax.Array) -> jax.Array:
 
 
 def mass_apply(ell: EllData, u: jax.Array) -> jax.Array:
-    xg = jnp.take(u, ell.f_cols, axis=0)
+    xg = jnp.take(u, ell.f_cols, axis=0, mode="clip")
     return jnp.einsum("ik,ikd->id", ell.m_vals, xg)
 
 
 def schur_diag(ell: EllData, node_weights: jax.Array) -> jax.Array:
     """diag(B W B^T)[j] ~= sum_{k,d} b_vals[j,k,d]^2 w[cols[j,k]]."""
-    w = jnp.take(node_weights, ell.b_cols, axis=0)      # (n_p1, Kb)
+    w = jnp.take(node_weights, ell.b_cols, axis=0, mode="clip")      # (n_p1, Kb)
     return jnp.einsum("jkd,jkd,jk->j", ell.b_vals, ell.b_vals, w)
 
 

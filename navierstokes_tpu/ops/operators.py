@@ -32,7 +32,7 @@ class Scatter:
 
     def __call__(self, flat_values: jax.Array) -> jax.Array:
         """flat_values: (n_flat, ...) -> (num_segments, ...)."""
-        v = jnp.take(flat_values, self.order, axis=0)
+        v = jnp.take(flat_values, self.order, axis=0, mode="clip")
         return jax.ops.segment_sum(v, self.sorted_ids,
                                    num_segments=self.num_segments,
                                    indices_are_sorted=True)
@@ -60,7 +60,7 @@ def convection_matrices(cells: CellArrays, t_hat: jax.Array,
     (src/NavierStokes.cpp:204-208), evaluated as a contraction of the fixed
     reference tensor T_hat[a,b,x,e] with per-cell J^-1 u values.
     """
-    u_c = jnp.take(u, cells.cell_p2, axis=0)          # (nc, n_v, dim)
+    u_c = jnp.take(u, cells.cell_p2, axis=0, mode="clip")          # (nc, n_v, dim)
     w = jnp.einsum("cxd,ced->cxe", cells.jinv, u_c)   # (nc, dim, n_v)
     w = w * cells.detj[:, None, None]
     return jnp.einsum("abxe,cxe->cab", t_hat, w)
@@ -82,11 +82,11 @@ def apply_blocks(cells: CellArrays, f_cell: jax.Array,
 
     yu_c = None
     if with_f or with_gt:
-        xu_c = jnp.take(xu, cells.cell_p2, axis=0)    # (nc, n_v, dim)
+        xu_c = jnp.take(xu, cells.cell_p2, axis=0, mode="clip")    # (nc, n_v, dim)
     if with_f:
         yu_c = jnp.einsum("cab,cbd->cad", f_cell, xu_c)
     if with_g:
-        xp_c = jnp.take(xp, cells.cell_p1, axis=0)    # (nc, n_p)
+        xp_c = jnp.take(xp, cells.cell_p1, axis=0, mode="clip")    # (nc, n_p)
         g_term = jnp.einsum("cadj,cj->cad", cells.grad, xp_c)
         yu_c = g_term if yu_c is None else yu_c + g_term
     yu = (scat_v(yu_c.reshape(-1, dim)) if yu_c is not None
@@ -131,7 +131,7 @@ def schur_diag(cells: CellArrays, node_weights: jax.Array,
     diag(B W B^T).  The BSR path (ops/bsr.py schur_diag) computes the
     exact assembled version; preconditioner quality only, never affects
     the converged solution."""
-    w_c = jnp.take(node_weights.reshape(-1), cells.cell_p2, axis=0)  # (nc,n_v)
+    w_c = jnp.take(node_weights.reshape(-1), cells.cell_p2, axis=0, mode="clip")  # (nc,n_v)
     contrib = jnp.einsum("cadj,cadj,ca->cj", cells.grad, cells.grad, w_c)
     return scat_p_diag(contrib.reshape(-1))
 
@@ -139,7 +139,7 @@ def schur_diag(cells: CellArrays, node_weights: jax.Array,
 def mass_apply(cells: CellArrays, scat_v: Scatter, u: jax.Array) -> jax.Array:
     """Consistent mass matrix times velocity: (n_p2, dim)."""
     dim = u.shape[1]
-    u_c = jnp.take(u, cells.cell_p2, axis=0)
+    u_c = jnp.take(u, cells.cell_p2, axis=0, mode="clip")
     r = jnp.einsum("cab,cbd->cad", cells.mass, u_c)
     return scat_v(r.reshape(-1, dim))
 

@@ -65,9 +65,14 @@ def _to_blocked_ell(rows, cols, vals, n, b, dtype):
     diag = np.zeros(n)
     d = rows == cols
     np.add.at(diag, rows[d], vals[d])
-    return EllBlocked(cols=jnp.asarray(table.astype(np.int32)),
-                      vals=jnp.asarray(out, dtype),
-                      diag=jnp.asarray(diag, dtype), n=n, b=b)
+    ret = EllBlocked(cols=jnp.asarray(table.astype(np.int32)),
+                     vals=jnp.asarray(out, dtype),
+                     diag=jnp.asarray(diag, dtype), n=n, b=b)
+    # host copies (plain attributes) for setup-time consumers — avoids
+    # pulling the device arrays back over a tunneled TPU (~80 s each)
+    ret.host_vals = out
+    ret.host_cols = table
+    return ret
 
 
 def ell_matvec(m: EllBlocked, x):
@@ -75,7 +80,7 @@ def ell_matvec(m: EllBlocked, x):
     n_b, K = m.cols.shape
     pad = n_b * m.b - m.n
     xb = jnp.pad(x, (0, pad)).reshape(n_b, m.b)
-    xg = jnp.take(xb, m.cols, axis=0)                   # (n_b, K, b)
+    xg = jnp.take(xb, m.cols, axis=0, mode="clip")                   # (n_b, K, b)
     if m.vals.dtype == jnp.bfloat16:
         prod = m.vals * xg.astype(jnp.bfloat16)[:, :, None, :]
         y = prod.astype(jnp.float32).sum(axis=(1, 3)).astype(x.dtype)
@@ -108,16 +113,20 @@ def assemble_ap(space, cells_host, w, dtype, b=16):
         t = (B.multiply(np.asarray(w)[None, :])) @ B.T
         ap = t if ap is None else ap + t
     ap = ap.tocoo()
-    return _to_blocked_ell(ap.row.astype(np.int64), ap.col.astype(np.int64),
-                           ap.data, space.n_p1, b, dtype)
+    out = _to_blocked_ell(ap.row.astype(np.int64), ap.col.astype(np.int64),
+                          ap.data, space.n_p1, b, dtype)
+    return out
 
 
 def coarse_from_ell(m: EllBlocked, agg_blocks: int):
     """Galerkin coarse matrix over aggregates of ``agg_blocks`` consecutive
     blocks: S_c[a, b] = sum of entries between the aggregates (host)."""
     n_b, K = m.cols.shape
-    vals = np.asarray(jax.device_get(m.vals), np.float64)
-    cols = np.asarray(m.cols)
+    vals = getattr(m, "host_vals", None)
+    cols = getattr(m, "host_cols", None)
+    if vals is None:
+        vals = np.asarray(jax.device_get(m.vals), np.float64)
+        cols = np.asarray(m.cols)
     n_agg = -(-n_b // agg_blocks)
     ra = np.repeat(np.arange(n_b) // agg_blocks, K)
     ca = (cols // agg_blocks).reshape(-1)
@@ -146,7 +155,9 @@ class BlockJacobiPlan:
 
 
 def build_block_jacobi_plan(bsr, S: int = 8) -> BlockJacobiPlan:
-    f_cols = np.asarray(bsr.f_cols, np.int64)            # (n_vb, KB)
+    f_cols = getattr(bsr, "host_f_cols", None)           # (n_vb, KB)
+    if f_cols is None:
+        f_cols = np.asarray(bsr.f_cols, np.int64)
     n_vb, KB = f_cols.shape
     n_tiles = -(-n_vb // S)
     idx = np.full((n_tiles, S, S), n_vb * KB, np.int64)  # default: zero blk
@@ -175,7 +186,7 @@ def block_jacobi_inverse(plan: BlockJacobiPlan, f_blk, mask_flat, sigma):
     flat = jnp.concatenate(
         [f_blk.reshape(n_vb * KB, bu, bu),
          jnp.zeros((1, bu, bu), f_blk.dtype)], axis=0)
-    tiles = jnp.take(flat, plan.idx, axis=0)      # (n_tiles, S, S, bu, bu)
+    tiles = jnp.take(flat, plan.idx, axis=0, mode="clip")      # (n_tiles, S, S, bu, bu)
     n = plan.n_tiles * plan.S * bu
     t = jnp.transpose(tiles, (0, 1, 3, 2, 4)).reshape(
         plan.n_tiles, plan.S * bu, plan.S * bu)

@@ -50,7 +50,9 @@ class CoarsePlan:
 
 def build_coarse_plan(bsr: BsrData, agg_blocks: int = 4) -> CoarsePlan:
     """agg_blocks: pressure BSR blocks (of bp nodes) per aggregate."""
-    g_cols = np.asarray(bsr.g_cols, dtype=np.int64)   # (n_vb, KG) p-blocks
+    g_cols = getattr(bsr, "host_g_cols", None)        # (n_vb, KG) p-blocks
+    if g_cols is None:
+        g_cols = np.asarray(bsr.g_cols, dtype=np.int64)
     n_pb = -(-bsr.n_p1 // bsr.bp)
     n_agg = -(-n_pb // agg_blocks)
     a_cols = g_cols // agg_blocks                     # aggregate ids
