@@ -124,6 +124,20 @@ class SolverConfig:
     degree_velocity: int = 2
     degree_pressure: int = 1
 
+    # Time-stepping scheme:
+    #   "monolithic" — reference parity: the full saddle-point system per
+    #                  step, FGMRES + block preconditioner (cpp:344-397)
+    #   "projection" — rotational incremental pressure-correction
+    #                  [Timmermans/Guermond-Minev-Shen]: one BC-masked
+    #                  F-solve + one pressure-Poisson solve per step.
+    #                  Same semi-implicit convection linearization and
+    #                  dt order; O(dt^2) pressure splitting error.  The
+    #                  TPU performance scheme (needs operator='bsr').
+    scheme: str = "monolithic"
+    proj_f_maxiter: int = 40      # BiCGStab budget for the u* solve
+    proj_p_maxiter: int = 30      # CG budget for the pressure Poisson
+    proj_rotational: bool = True  # rotational pressure update (+nu div u*)
+
     # Outer Krylov (src/NavierStokes.cpp:344-397)
     outer_tol: float = 1.0e-6     # relative to ||rhs||
     outer_maxiter: int = 200      # reference allows 10000

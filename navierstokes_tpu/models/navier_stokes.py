@@ -91,6 +91,10 @@ class StepParams:
     ap_lam: object          # lambda_max estimate for Ap smoothing
     mp_lumped: object       # (n_p1,) lumped pressure mass
     bj_plan: object         # BlockJacobiPlan | None (F tile preconditioner)
+    # projection-scheme Poisson operator (phi = 0 pinned on the outlet):
+    ap_dir: object          # EllBlocked | None
+    ap_dir_sc_inv: object
+    ap_dir_lam: object
     # forcing-term quadrature data (None unless a forcing fn is set):
     forcing_xq: object      # (nc, n_q, dim) physical quadrature points
     forcing_w: object       # (nc, n_q, n_a) qw*phi_a*detJ scatter weights
@@ -318,6 +322,29 @@ class NavierStokes:
             lambda v: ell_matvec(self._ap, v), sdinv, sp.n_p1, self.dtype)
         self._bj_plan = build_block_jacobi_plan(
             self.ell, S=self.config.bj_tile_blocks)
+        # Projection-scheme Poisson operator: the CONSISTENT P1 stiffness
+        # Laplacian (IPCS-style), phi pinned to 0 on the outlet P1 nodes
+        # when an outflow exists.  NOT the compatible B W B^T: that choice
+        # excites an exponentially growing outflow mode (measured on the
+        # cylinder channel; see ops/p1ell.assemble_p1_stiffness).
+        from navierstokes_tpu.ops.p1ell import assemble_p1_stiffness
+        out_sel = self.mesh.boundary_tags == TAG_OUTLET
+        out_nodes = (np.unique(self.mesh.boundary_faces[out_sel])
+                     if np.any(out_sel) else None)
+        self._ap_dir_pinned = out_nodes is not None
+        self._ap_dir = assemble_p1_stiffness(sp, self._cells_host,
+                                             self.dtype, b=self.ell.bp,
+                                             dirichlet_nodes=out_nodes)
+        scd = coarse_from_ell(self._ap_dir, self.config.schur_agg_blocks)
+        nd = scd.shape[0]
+        sd_scale = np.abs(np.diag(scd)).mean() + 1e-30
+        self._ap_dir_sc_inv = jnp.asarray(
+            np.linalg.inv(scd + 1e-8 * sd_scale * np.eye(nd)), self.dtype)
+        dd = self._ap_dir.diag
+        sdinv_d = jnp.where(dd != 0, 1.0 / dd, 1.0)
+        self._ap_dir_lam = estimate_lam_max(
+            lambda v: ell_matvec(self._ap_dir, v), sdinv_d, sp.n_p1,
+            self.dtype)
         # lumped pressure mass: row sums of Mp = detJ * measure/(dim+1)
         from navierstokes_tpu.ops.assembly import geometric_factors
         detj, _ = geometric_factors(sp)
@@ -368,14 +395,153 @@ class NavierStokes:
                           ap_lam=getattr(self, "_ap_lam", None),
                           mp_lumped=getattr(self, "_mp_lumped", None),
                           bj_plan=getattr(self, "_bj_plan", None),
+                          ap_dir=getattr(self, "_ap_dir", None),
+                          ap_dir_sc_inv=getattr(self, "_ap_dir_sc_inv",
+                                                None),
+                          ap_dir_lam=getattr(self, "_ap_dir_lam", None),
                           forcing_xq=getattr(self, "_forcing_xq", None),
                           forcing_w=getattr(self, "_forcing_w", None))
+
+    def _step_projection(self, params: StepParams, u, p, t_prev,
+                         u_prev=None):
+        """Rotational incremental pressure-correction step — the TPU
+        performance scheme (config.scheme='projection').
+
+        Same spatial discretization, semi-implicit convection
+        linearization (reference T1 form, cpp:204-208) and Dirichlet
+        handling as the monolithic path, but the saddle-point solve is
+        split [Guermond, Minev & Shen 2006]:
+
+            (M/dt + nu K + C(u^n)) u* = M u^n/dt + f - G p^n   [+ BCs]
+            Ap phi = B u* / dt          (Ap = B diag(mask/M_l) B^T)
+            u^{n+1} = u* - dt W G phi   (W = diag(mask/M_l))
+            p^{n+1} = p^n + phi + nu * Mp^{-1} (B u*)   [rotational]
+
+        One BC-masked F BiCGStab solve + one V-cycle-preconditioned CG
+        Poisson solve per step instead of 30-80 outer FGMRES iterations
+        on the coupled system.  The velocity correction uses the SAME
+        masked weights as Ap, so Dirichlet values are preserved exactly
+        and div-freedom holds to the Poisson-solve tolerance."""
+        from navierstokes_tpu.ops.p1ell import (block_jacobi_apply,
+                                                block_jacobi_inverse,
+                                                ell_matvec)
+        from navierstokes_tpu.solvers.krylov import bicgstab, cg
+        from navierstokes_tpu.solvers.schur import make_vcycle_solver
+        cfg = self.config
+        ops = self._ops
+        bc = params.bc
+        mask = bc.mask
+        dt = cfg.deltat
+        t_new = t_prev + dt
+
+        conv = ops.convection(params, u)
+        f_cell = params.a0_cell + conv
+        d = ops.f_diag(params, f_cell)
+        mflat = mask[:, 0]
+        sigma = jnp.sum(d * mflat) / jnp.maximum(jnp.sum(mflat), 1.0)
+        dinv = (1.0 / (d * mflat + sigma * (1.0 - mflat)))[:, None]
+        zero_p = jnp.zeros(self.space.n_p1, self.dtype)
+
+        def apply_F(xu):
+            xum = xu * mask
+            yu, _ = ops.apply_blocks(params, f_cell, xum, zero_p,
+                                     with_g=False, with_gt=False)
+            return yu * mask + sigma * (xu - xum)
+
+        def apply_Bt_raw(xp):
+            yu, _ = ops.apply_blocks(params, f_cell, jnp.zeros_like(u), xp,
+                                     with_f=False, with_gt=False)
+            return yu
+
+        def apply_B_raw(xu):
+            _, yp = ops.apply_blocks(params, f_cell, xu, zero_p,
+                                     with_f=False, with_g=False)
+            return yp
+
+        if cfg.f_precond == "bj" and params.bj_plan is not None:
+            inv_tiles = block_jacobi_inverse(
+                params.bj_plan, f_cell, mflat, sigma)
+            pre_f = lambda r: block_jacobi_apply(params.bj_plan, inv_tiles, r)
+        else:
+            pre_f = lambda r: r * dinv
+
+        # ---- u* momentum solve ----
+        factor = self._time_factor(t_new).astype(self.dtype)
+        g = bc.lift(factor)
+        b_u = (ops.mass_apply(params, u) / dt + params.rhs_neumann
+               - apply_Bt_raw(p))
+        if self.forcing is not None:
+            xq = params.forcing_xq
+            fq = self.forcing(xq.reshape(-1, self.dim), t_new)
+            fq = jnp.asarray(fq, self.dtype).reshape(xq.shape)
+            r_c = jnp.einsum("cqa,cqd->cad", params.forcing_w, fq)
+            b_u = b_u + self._forcing_scat(r_c.reshape(-1, self.dim))
+        fg, _ = ops.apply_blocks(params, f_cell, g, zero_p,
+                                 with_g=False, with_gt=False)
+        b_u = (b_u - fg) * mask + sigma * g
+        tol = cfg.outer_tol
+        if self.dtype == jnp.dtype(jnp.float32):
+            tol = max(tol, 3.0e-6)
+        u_guess = (u if u_prev is None else (2.0 * u - u_prev))
+        res_f = bicgstab(apply_F, b_u, x0=u_guess * mask + g, tol=tol,
+                         maxiter=cfg.proj_f_maxiter, precond=pre_f)
+        u_star = res_f.x * mask + g
+
+        # ---- pressure Poisson:  Ap phi = B u* / dt ----
+        # Consistent P1 Laplacian, outlet-pinned when an outflow exists
+        # (stable open-boundary condition); closed domains keep the
+        # all-Neumann operator with the constant nullspace projected out.
+        pinned = self._ap_dir_pinned
+        ap_op = params.ap_dir
+        sc_inv = params.ap_dir_sc_inv
+        lam = params.ap_dir_lam
+        apply_ap = lambda v: ell_matvec(ap_op, v)
+        solve_ap = make_vcycle_solver(
+            apply_ap, ap_op.diag, self._coarse_plan, sc_inv,
+            n_cycles=1, smooth_k=cfg.schur_smooth_k, lam_max=lam)
+        div_star = apply_B_raw(u_star)
+        rhs_p = div_star / dt
+        if not pinned:
+            rhs_p = rhs_p - jnp.mean(rhs_p)
+        res_p = cg(apply_ap, rhs_p, tol=tol, maxiter=cfg.proj_p_maxiter,
+                   precond=solve_ap)
+        phi = res_p.x if pinned else res_p.x - jnp.mean(res_p.x)
+
+        # ---- correction + rotational pressure update ----
+        u_new = u_star - dt * (params.ap_w[:, None] * apply_Bt_raw(phi))
+        u_new = u_new * mask + g               # exact boundary values
+        p_new = p + phi
+        if cfg.proj_rotational:
+            # -nu div(u*) == +nu Mp^-1 (B u*) in this operator convention
+            p_new = p_new + params.nu * (div_star / params.mp_lumped)
+
+        # ---- forces (cpp:831-929) ----
+        if params.faces_obst is not None:
+            drag, lift = drag_lift(params.faces_obst, u_new, p_new,
+                                   params.nu, formula=cfg.force_formula)
+            cd, cl = force_coefficients(drag, lift, params.u_mean0,
+                                        cfg.ref_length, self.dim,
+                                        cfg.span_3d)
+        else:
+            drag = lift = cd = cl = jnp.asarray(0.0, self.dtype)
+
+        metrics = StepMetrics(time=t_new,
+                              iterations=res_f.iterations
+                              + res_p.iterations,
+                              residual=res_f.residual, drag=drag,
+                              lift=lift, cd=cd, cl=cl)
+        return u_new, p_new, t_new, metrics
 
     def _step_fn(self, params: StepParams, u, p, t_prev, u_prev=None):
         """One semi-implicit step: returns (u_new, p_new, t_new, metrics).
         ``u_prev`` (solution at n-1) enables the second-order extrapolated
         initial guess 2u - u_prev for the outer Krylov solve."""
         cfg = self.config
+        if cfg.scheme == "projection":
+            assert self._operator == "bsr", \
+                "scheme='projection' requires operator='bsr'"
+            return self._step_projection(params, u, p, t_prev,
+                                         u_prev=u_prev)
         ops = self._ops
         bc = params.bc
         mask = bc.mask                                  # (n_p2, 1)

@@ -89,13 +89,18 @@ def ell_matvec(m: EllBlocked, x):
     return y.reshape(-1)[:m.n]
 
 
-def assemble_ap(space, cells_host, w, dtype, b=16):
+def assemble_ap(space, cells_host, w, dtype, b=16, dirichlet_nodes=None):
     """Ap = sum_d B_d diag(w) B_d^T on the P1-P1 graph (host, numpy).
 
     ``w``: (n_p2,) weights (BC mask / lumped mass).  B_d entries come from
     the same integrals as the reference's pressure-velocity coupling
     (src/NavierStokes.cpp:222-229): B[d][q, v] = -(grad phi_v)_d psi_q
-    integrated — here taken from the per-cell grad tensor."""
+    integrated — here taken from the per-cell grad tensor.
+
+    ``dirichlet_nodes``: optional P1 node ids whose rows/cols are
+    eliminated (unit diagonal, diag-mean scaled) — used by the projection
+    scheme to pin phi = 0 on the outflow boundary, which removes the
+    all-Neumann nullspace and the open-boundary instability."""
     import scipy.sparse as sp
 
     cp2 = np.asarray(space.cell_p2, np.int64)
@@ -112,10 +117,59 @@ def assemble_ap(space, cells_host, w, dtype, b=16):
         B = sp.csr_matrix((v, (rows, cols)), shape=(space.n_p1, space.n_p2))
         t = (B.multiply(np.asarray(w)[None, :])) @ B.T
         ap = t if ap is None else ap + t
+    if dirichlet_nodes is not None and len(dirichlet_nodes):
+        ap = ap.tolil()
+        scale = np.abs(ap.diagonal()).mean() + 1e-30
+        ap[dirichlet_nodes, :] = 0.0
+        ap[:, dirichlet_nodes] = 0.0
+        ap[dirichlet_nodes, dirichlet_nodes] = scale
+        ap = ap.tocsr()
     ap = ap.tocoo()
     out = _to_blocked_ell(ap.row.astype(np.int64), ap.col.astype(np.int64),
                           ap.data, space.n_p1, b, dtype)
     return out
+
+
+def assemble_p1_stiffness(space, cells_host, dtype, b=16,
+                          dirichlet_nodes=None):
+    """Consistent P1 stiffness Laplacian  L[q, r] = int grad psi_q .
+    grad psi_r dx  as a blocked ELL (host assembly).
+
+    This is the PRESSURE-POISSON operator of the projection scheme
+    (IPCS-style approximate projection).  Measured essential: using the
+    compatible B W B^T instead excites an exponentially growing outflow
+    mode on the cylinder channel; the consistent Laplacian is stable.
+    ``dirichlet_nodes`` pins phi = 0 there (the outflow boundary)."""
+    import scipy.sparse as sp
+
+    from navierstokes_tpu.ops.assembly import geometric_factors
+    detj, jinv = geometric_factors(space)
+    dim = space.dim
+    if dim == 2:
+        gref = np.array([[-1., -1.], [1., 0.], [0., 1.]])
+        meas = 0.5
+    else:
+        gref = np.array([[-1., -1., -1.],
+                         [1., 0., 0.], [0., 1., 0.], [0., 0., 1.]])
+        meas = 1.0 / 6.0
+    gp = np.einsum("ax,cxd->cad", gref, jinv)        # physical gradients
+    ke = np.einsum("cad,cbd,c->cab", gp, gp, detj * meas)
+    cp1 = np.asarray(space.cell_p1, np.int64)
+    npp = cp1.shape[1]
+    rows = np.repeat(cp1, npp, axis=1).ravel()
+    cols = np.tile(cp1, (1, npp)).ravel()
+    L = sp.csr_matrix((ke.ravel(), (rows, cols)),
+                      shape=(space.n_p1, space.n_p1))
+    if dirichlet_nodes is not None and len(dirichlet_nodes):
+        L = L.tolil()
+        scale = np.abs(L.diagonal()).mean() + 1e-30
+        L[dirichlet_nodes, :] = 0.0
+        L[:, dirichlet_nodes] = 0.0
+        L[dirichlet_nodes, dirichlet_nodes] = scale
+        L = L.tocsr()
+    L = L.tocoo()
+    return _to_blocked_ell(L.row.astype(np.int64), L.col.astype(np.int64),
+                           L.data, space.n_p1, b, dtype)
 
 
 def coarse_from_ell(m: EllBlocked, agg_blocks: int):

@@ -43,6 +43,10 @@ def _add_common(p):
                    choices=["identity", "asimple", "ayosida", "cc", "pcd"])
     p.add_argument("--operator", type=str, default=SolverConfig.operator,
                    choices=["bsr", "ell", "cells"])
+    p.add_argument("--scheme", type=str, default=SolverConfig.scheme,
+                   choices=["monolithic", "projection"],
+                   help="monolithic = reference-parity coupled solve; "
+                        "projection = pressure-correction (fast)")
     p.add_argument("--n-devices", type=int, default=SolverConfig.n_devices,
                    help="0 = all visible devices, 1 = single device")
     p.add_argument("--output-dir", type=str, default="output")
@@ -53,6 +57,7 @@ def _add_common(p):
 def _build(args, name, mesh_kwargs=None):
     cfg = SolverConfig(dtype=args.dtype, preconditioner=args.preconditioner,
                        operator=args.operator, n_devices=args.n_devices,
+                       scheme=args.scheme,
                        output_dir=args.output_dir, cache_dir=args.cache_dir,
                        csv_path=args.csv)
     overrides = {}

@@ -33,6 +33,8 @@ CONFIGS = {
                           f_solver="richardson", inner_maxiter_f=10),
     "pcd-bj-bicg30": dict(preconditioner="pcd", f_precond="bj",
                           f_solver="bicgstab", inner_maxiter_f=30),
+    "proj": dict(scheme="projection"),
+    "proj-f60": dict(scheme="projection", proj_f_maxiter=60),
 }
 
 

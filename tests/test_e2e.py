@@ -163,3 +163,19 @@ def test_assemble_and_step_before_solve(coarse_mesh, tmp_path):
     m = ns.solve_time_step()
     assert float(m.residual) < 1e-5
     assert ns.time == pytest.approx(0.01)
+
+
+def test_projection_scheme_matches_monolithic(coarse_mesh, tmp_path):
+    """The projection (pressure-correction) scheme tracks the monolithic
+    reference-parity scheme to splitting-error accuracy O(dt) on the
+    cylinder channel."""
+    # compare after the impulsive-start transient (the incremental
+    # scheme starts from p=0; its pressure needs a few steps to settle)
+    ns_m = _make(coarse_mesh, str(tmp_path / "m"), T=0.15, step=5).setup()
+    ns_m.solve()
+    ns_p = _make(coarse_mesh, str(tmp_path / "p"), T=0.15, step=5,
+                 scheme="projection").setup()
+    ns_p.solve()
+    assert abs(ns_p.cd - ns_m.cd) < 0.02 * max(abs(ns_m.cd), 1.0)
+    du = np.abs(np.asarray(ns_p._u) - np.asarray(ns_m._u)).max()
+    assert du < 0.1
