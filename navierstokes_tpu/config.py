@@ -134,9 +134,14 @@ class SolverConfig:
     #                  dt order; O(dt^2) pressure splitting error.  The
     #                  TPU performance scheme (needs operator='bsr').
     scheme: str = "monolithic"
-    proj_f_maxiter: int = 40      # BiCGStab budget for the u* solve
-    proj_p_maxiter: int = 30      # CG budget for the pressure Poisson
+    proj_f_maxiter: int = 150     # BiCGStab budget for the u* solve
+    proj_p_maxiter: int = 50      # CG budget for the pressure Poisson
     proj_rotational: bool = True  # rotational pressure update (+nu div u*)
+    # Relative tolerance of the projection sub-solves.  1e-4 is matched to
+    # the O(dt^2) splitting error: measured Cd within 0.3% of the fully
+    # (1e-6) converged projection at the 1M-DoF bench point, at ~2.3x less
+    # work (scripts/exp_iters.py proj-tol1e4 vs proj-f200-p60).
+    proj_tol: float = 1.0e-4
 
     # Outer Krylov (src/NavierStokes.cpp:344-397)
     outer_tol: float = 1.0e-6     # relative to ||rhs||

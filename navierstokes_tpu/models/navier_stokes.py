@@ -479,7 +479,7 @@ class NavierStokes:
         fg, _ = ops.apply_blocks(params, f_cell, g, zero_p,
                                  with_g=False, with_gt=False)
         b_u = (b_u - fg) * mask + sigma * g
-        tol = cfg.outer_tol
+        tol = cfg.proj_tol
         if self.dtype == jnp.dtype(jnp.float32):
             tol = max(tol, 3.0e-6)
         u_guess = (u if u_prev is None else (2.0 * u - u_prev))
@@ -528,8 +528,9 @@ class NavierStokes:
         metrics = StepMetrics(time=t_new,
                               iterations=res_f.iterations
                               + res_p.iterations,
-                              residual=res_f.residual, drag=drag,
-                              lift=lift, cd=cd, cl=cl)
+                              residual=jnp.maximum(res_f.residual,
+                                                   res_p.residual),
+                              drag=drag, lift=lift, cd=cd, cl=cl)
         return u_new, p_new, t_new, metrics
 
     def _step_fn(self, params: StepParams, u, p, t_prev, u_prev=None):

@@ -35,6 +35,12 @@ CONFIGS = {
                           f_solver="bicgstab", inner_maxiter_f=30),
     "proj": dict(scheme="projection"),
     "proj-f60": dict(scheme="projection", proj_f_maxiter=60),
+    "proj-f100-p50": dict(scheme="projection", proj_f_maxiter=100,
+                          proj_p_maxiter=50),
+    "proj-f200-p60": dict(scheme="projection", proj_f_maxiter=200,
+                          proj_p_maxiter=60),
+    "proj-tol1e4": dict(scheme="projection", proj_f_maxiter=100,
+                        proj_p_maxiter=50, outer_tol=1.0e-4),
 }
 
 

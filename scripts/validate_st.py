@@ -14,6 +14,8 @@ Prints Cd/Cl in BOTH conventions:
 import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir",
@@ -31,6 +33,7 @@ from navierstokes_tpu.utils.analysis import load_forces, strouhal
 
 case = sys.argv[1] if len(sys.argv) > 1 else "2d1"
 h = float(sys.argv[2]) if len(sys.argv) > 2 else 0.015
+scheme = "projection" if "--projection" in sys.argv else "monolithic"
 
 # True Schaefer-Turek setup: nu = 1e-3, D = 0.1 normalization.  (Note: the
 # reference's set_re_number path uses its Diameter=0.4 quirk, which at
@@ -47,7 +50,8 @@ else:
     dt, T = 0.0025, 8.0
 
 cfg = SolverConfig(dtype=dtype, nu=1.0e-3, ref_length=0.1,
-                   force_formula="st",
+                   force_formula="st", scheme=scheme,
+                   proj_f_maxiter=100, proj_p_maxiter=50,
                    output_dir="/tmp/st_out", cache_dir="/tmp/st_cache",
                    csv_path=csv, inner_maxiter_f=10)
 ns = NavierStokes(mesh, 2, 1, deltat=dt, T=T, step=400, inlet=inlet,
