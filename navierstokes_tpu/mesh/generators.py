@@ -192,8 +192,14 @@ def _classify_box_boundary(mesh: Mesh, lx, ly, lz=None, tol=1e-9):
 
 def channel_with_cylinder_2d(h=0.02, h_near=None, lx=2.2, ly=0.41,
                              cx=0.2, cy=0.2, r=0.05, near_band=None,
-                             n_rings=3):
-    """Schaefer-Turek 2D cylinder channel (mesh/domain2D.geo geometry)."""
+                             n_rings=3, wake_levels=0, wake_len=1.2,
+                             wake_halfwidth=0.12):
+    """Schaefer-Turek 2D cylinder channel (mesh/domain2D.geo geometry).
+
+    ``wake_levels`` > 0 additionally refines a band of halfwidth
+    ``wake_halfwidth`` around the wake centerline (length ``wake_len``
+    behind the cylinder) to spacing h / 2**wake_levels — the vortex
+    street resolution that Cl_max convergence needs (ST 2D-2)."""
     h_near = h_near if h_near is not None else h / 2.0
     near_band = near_band if near_band is not None else 6.0 * r
 
@@ -217,7 +223,14 @@ def channel_with_cylinder_2d(h=0.02, h_near=None, lx=2.2, ly=0.41,
     extra = np.concatenate(ring_pts, axis=0) if ring_pts else None
 
     def dist_fn(p):
-        return np.abs(np.hypot(p[:, 0] - cx, p[:, 1] - cy) - r)
+        d = np.abs(np.hypot(p[:, 0] - cx, p[:, 1] - cy) - r)
+        if wake_levels > 0:
+            dx = p[:, 0] - np.clip(p[:, 0], cx, cx + wake_len)
+            dw = np.hypot(dx, p[:, 1] - cy)
+            base = near_band / (2.0 ** wake_levels)
+            scale = (near_band - base) / wake_halfwidth
+            d = np.minimum(d, base + dw * scale)
+        return d
 
     mesh, _ = _delaunay_mesh_2d(lx, ly, h, [circle], [hole_path], extra,
                                 dist_fn, h_near, near_band)

@@ -1,7 +1,8 @@
 """Schaefer-Turek benchmark validation runs.
 
-Usage: python scripts/validate_st.py [case] [h] [--cpu]
+Usage: python scripts/validate_st.py [case] [h] [--cpu] [--projection]
   case: 2d1 (Re=20 steady) | 2d2 (Re=100 vortex shedding)
+      | 3d1 (3D-1Z square column, Re=20 steady)
 
 Prints Cd/Cl in BOTH conventions:
   * reference convention (ref_length = 0.4, matching the deal.II solver's
@@ -41,13 +42,23 @@ scheme = "projection" if "--projection" in sys.argv else "monolithic"
 # validate the physics against the published benchmarks directly.)
 dtype = "float64" if "--cpu" in sys.argv else "float32"
 csv = f"/tmp/st_{case}.csv"
-mesh = channel_with_cylinder_2d(h=h, h_near=h / 3)
-if case == "2d1":
-    inlet = InletConfig(kind="parabolic", u_m=0.3, height=0.41)
-    dt, T = 0.01, 4.0
+if case == "3d1":
+    # ST 3D-1Z: square column in a duct (mesh/domain3D.geo geometry),
+    # bi-parabolic inlet U_m=0.45 (tests/3D/test_01/src/test_01.cpp:15,24),
+    # TRUE Re = U_mean*D/nu = 0.2*0.1/1e-3 = 20; published Cd 7.5-7.7
+    from navierstokes_tpu.mesh import duct_with_box_obstacle_3d
+    mesh = duct_with_box_obstacle_3d(h=h)
+    inlet = InletConfig(kind="biparabolic", u_m=0.45, height=0.41)
+    dt, T = 0.01, 2.0
 else:
-    inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41)
-    dt, T = 0.0025, 8.0
+    wl = 1 if case == "2d2" else 0
+    mesh = channel_with_cylinder_2d(h=h, h_near=h / 3, wake_levels=wl)
+    if case == "2d1":
+        inlet = InletConfig(kind="parabolic", u_m=0.3, height=0.41)
+        dt, T = 0.01, 4.0
+    else:
+        inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41)
+        dt, T = 0.0025, 8.0
 
 cfg = SolverConfig(dtype=dtype, nu=1.0e-3, ref_length=0.1,
                    force_formula="st", scheme=scheme,
@@ -66,6 +77,10 @@ if case == "2d1":
     cd, cl = float(tail["Cd"].mean()), float(tail["Cl"].mean())
     print(f"[standard ST] Cd = {cd:.4f} (target 5.57-5.59), "
           f"Cl = {cl:.4f} (target 0.0104-0.0110)")
+elif case == "3d1":
+    cd, cl = float(tail["Cd"].mean()), float(tail["Cl"].mean())
+    print(f"[standard ST 3D-1Z] Cd = {cd:.4f} (target 7.5-7.7), "
+          f"Cl = {cl:.4f} (target 0.06-0.08)")
 else:
     cd_max = float(tail["Cd"].max())
     cl_max = float(tail["Cl"].max())

@@ -51,3 +51,26 @@ def test_postprocess_smoke(tmp_path):
                  "--step", "2"] + args) == 0
     # post_process wrote VTU replays
     assert os.path.exists(tmp_path / "out" / "output-stokes_000000.vtu")
+
+
+def test_sweep_naca_lift_monotone(tmp_path, monkeypatch):
+    """AoA sweep end-to-end (tests/2D/test_naca/run_test.sh parity): at
+    small angles lift grows with angle of attack; per-angle csv artifacts
+    are produced."""
+    monkeypatch.chdir(tmp_path)
+    rc = main(["sweep-naca", "--angles", "2", "8", "--h", "0.1",
+               "--T", "0.4", "--deltat", "0.01", "--output-step", "40",
+               "--dtype", "float64",
+               "--output-dir", str(tmp_path / "out"),
+               "--cache-dir", str(tmp_path / "cache")])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "output_2.csv")
+    assert os.path.exists(tmp_path / "output_8.csv")
+
+    def tail_cl(p):
+        rows = np.genfromtxt(p, delimiter=",", names=True)
+        return float(np.mean(np.atleast_1d(rows["Cl"])[-10:]))
+
+    cl2 = tail_cl(tmp_path / "output_2.csv")
+    cl8 = tail_cl(tmp_path / "output_8.csv")
+    assert cl8 > cl2
