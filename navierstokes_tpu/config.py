@@ -137,6 +137,11 @@ class SolverConfig:
     proj_f_maxiter: int = 150     # BiCGStab budget for the u* solve
     proj_p_maxiter: int = 50      # CG budget for the pressure Poisson
     proj_rotational: bool = True  # rotational pressure update (+nu div u*)
+    # BDF2 time derivative + second-order extrapolated convection
+    # linearization C(2u^n - u^{n-1}) for the projection scheme: true
+    # O(dt^2) velocity accuracy (the BDF1 variant inherits the monolithic
+    # reference's first-order local error, which dominates Cl_max).
+    proj_bdf2: bool = True
     # Relative tolerance of the projection sub-solves.  1e-4 is matched to
     # the O(dt^2) splitting error: measured Cd within 0.3% of the fully
     # (1e-6) converged projection at the 1M-DoF bench point, at ~2.3x less

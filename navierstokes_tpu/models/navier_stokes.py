@@ -410,11 +410,12 @@ class NavierStokes:
         Same spatial discretization, semi-implicit convection
         linearization (reference T1 form, cpp:204-208) and Dirichlet
         handling as the monolithic path, but the saddle-point solve is
-        split [Guermond, Minev & Shen 2006]:
+        split [Guermond, Minev & Shen 2006] (BDF1 form; proj_bdf2=True
+        upgrades to BDF2 with C(2u^n - u^{n-1}) and dt_eff = 2 dt/3):
 
             (M/dt + nu K + C(u^n)) u* = M u^n/dt + f - G p^n   [+ BCs]
-            Ap phi = B u* / dt          (Ap = B diag(mask/M_l) B^T)
-            u^{n+1} = u* - dt W G phi   (W = diag(mask/M_l))
+            Lp phi = B u* / dt_eff      (consistent P1 Laplacian)
+            u^{n+1} = u* - dt_eff W G phi   (W = diag(mask/M_l))
             p^{n+1} = p^n + phi + nu * Mp^{-1} (B u*)   [rotational]
 
         One BC-masked F BiCGStab solve + one V-cycle-preconditioned CG
@@ -434,8 +435,23 @@ class NavierStokes:
         dt = cfg.deltat
         t_new = t_prev + dt
 
-        conv = ops.convection(params, u)
-        f_cell = params.a0_cell + conv
+        # BDF2 + extrapolated convection (proj_bdf2): F gets 3M/(2 dt),
+        # convection is linearized at 2u^n - u^{n-1} (2nd order), and the
+        # projection uses the effective step dt/alpha.  u_prev == u on the
+        # very first step degrades gracefully to a consistent start-up.
+        up = u if u_prev is None else u_prev
+        if cfg.proj_bdf2:
+            alpha = 1.5
+            conv = ops.convection(params, 2.0 * u - up)
+            f_cell = (params.a0_cell + (0.5 / dt) * params.cells.m_blk
+                      + conv)
+            u_t = (4.0 * u - up) / (2.0 * dt)    # M-weighted history term
+        else:
+            alpha = 1.0
+            conv = ops.convection(params, u)
+            f_cell = params.a0_cell + conv
+            u_t = u / dt
+        dt_eff = dt / alpha
         d = ops.f_diag(params, f_cell)
         mflat = mask[:, 0]
         sigma = jnp.sum(d * mflat) / jnp.maximum(jnp.sum(mflat), 1.0)
@@ -468,7 +484,7 @@ class NavierStokes:
         # ---- u* momentum solve ----
         factor = self._time_factor(t_new).astype(self.dtype)
         g = bc.lift(factor)
-        b_u = (ops.mass_apply(params, u) / dt + params.rhs_neumann
+        b_u = (ops.mass_apply(params, u_t) + params.rhs_neumann
                - apply_Bt_raw(p))
         if self.forcing is not None:
             xq = params.forcing_xq
@@ -500,7 +516,7 @@ class NavierStokes:
             apply_ap, ap_op.diag, self._coarse_plan, sc_inv,
             n_cycles=1, smooth_k=cfg.schur_smooth_k, lam_max=lam)
         div_star = apply_B_raw(u_star)
-        rhs_p = div_star / dt
+        rhs_p = div_star / dt_eff
         if not pinned:
             rhs_p = rhs_p - jnp.mean(rhs_p)
         res_p = cg(apply_ap, rhs_p, tol=tol, maxiter=cfg.proj_p_maxiter,
@@ -508,7 +524,7 @@ class NavierStokes:
         phi = res_p.x if pinned else res_p.x - jnp.mean(res_p.x)
 
         # ---- correction + rotational pressure update ----
-        u_new = u_star - dt * (params.ap_w[:, None] * apply_Bt_raw(phi))
+        u_new = u_star - dt_eff * (params.ap_w[:, None] * apply_Bt_raw(phi))
         u_new = u_new * mask + g               # exact boundary values
         p_new = p + phi
         if cfg.proj_rotational:
