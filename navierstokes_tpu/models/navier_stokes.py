@@ -355,16 +355,25 @@ class NavierStokes:
         self._mp_lumped = jnp.asarray(mp, self.dtype)
 
     def _build_static(self):
-        """nu/dt-dependent static operator A0 = M/dt + nu K (element or
-        graph format) and the dt/lumped-mass vector (for aYosida)."""
-        dt = self.config.deltat
+        """nu/dt-dependent static operator A0 = c_t M/dt + nu K (element
+        or graph format) and the dt/lumped-mass vector (for aYosida).
+        c_t = 3/2 for the BDF2 projection scheme (folded here so the step
+        does not materialize an extra full-size operator temp — decisive
+        for 3D HBM fit)."""
+        cfg = self.config
+        dt = cfg.deltat
+        ct = (1.5 if cfg.scheme == "projection" and cfg.proj_bdf2
+              else 1.0)
         op = getattr(self, "_operator", "cells")
         if op == "ell":
-            self.a0_cell = self.ell.m_vals / dt + self.nu * self.ell.k_vals
+            self.a0_cell = (ct / dt) * self.ell.m_vals \
+                + self.nu * self.ell.k_vals
         elif op == "bsr":
-            self.a0_cell = self.ell.m_blk / dt + self.nu * self.ell.k_blk
+            self.a0_cell = (ct / dt) * self.ell.m_blk \
+                + self.nu * self.ell.k_blk
         else:
-            self.a0_cell = self.cells.mass / dt + self.nu * self.cells.stiff
+            self.a0_cell = (ct / dt) * self.cells.mass \
+                + self.nu * self.cells.stiff
         self.dt_mlump_inv = jnp.asarray(
             (dt / self._lumped_host)[:, None], self.dtype)
         self._chunks = {}  # operators changed -> invalidate compiled chunks
@@ -441,16 +450,16 @@ class NavierStokes:
         # very first step degrades gracefully to a consistent start-up.
         up = u if u_prev is None else u_prev
         if cfg.proj_bdf2:
+            # a0_cell already carries the 3/2 BDF2 mass coefficient
+            # (_build_static) — no extra full-size operator temp here
             alpha = 1.5
             conv = ops.convection(params, 2.0 * u - up)
-            f_cell = (params.a0_cell + (0.5 / dt) * params.cells.m_blk
-                      + conv)
             u_t = (4.0 * u - up) / (2.0 * dt)    # M-weighted history term
         else:
             alpha = 1.0
             conv = ops.convection(params, u)
-            f_cell = params.a0_cell + conv
             u_t = u / dt
+        f_cell = params.a0_cell + conv
         dt_eff = dt / alpha
         d = ops.f_diag(params, f_cell)
         mflat = mask[:, 0]

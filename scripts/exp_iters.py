@@ -93,6 +93,7 @@ def main():
         over = CONFIGS[name]
         for k, v in over.items():
             setattr(ns.config, k, v)
+        ns._build_static()  # scheme/dt-dependent operator coefficients
         ns._chunks = {}  # config is baked into the trace -> recompile
         ns._init_state(0)
         params = ns._params()

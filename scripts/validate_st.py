@@ -63,6 +63,9 @@ else:
 cfg = SolverConfig(dtype=dtype, nu=1.0e-3, ref_length=0.1,
                    force_formula="st", scheme=scheme,
                    proj_f_maxiter=100, proj_p_maxiter=50,
+                   # 16x16 BSR tiles in 3D: the 8x8 default lane-pads 16x
+                   # under XLA's TPU tiling (measured OOM at 772k DoF)
+                   bsr_block=16 if case.startswith("3d") else 0,
                    output_dir="/tmp/st_out", cache_dir="/tmp/st_cache",
                    csv_path=csv, inner_maxiter_f=10)
 ns = NavierStokes(mesh, 2, 1, deltat=dt, T=T, step=400, inlet=inlet,
