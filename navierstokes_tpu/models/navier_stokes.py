@@ -467,11 +467,16 @@ class NavierStokes:
         dinv = (1.0 / (d * mflat + sigma * (1.0 - mflat)))[:, None]
         zero_p = jnp.zeros(self.space.n_p1, self.dtype)
 
+        # bf16 value reads inside the u* solve (vectors + accumulation stay
+        # fp32); the attainable residual stays well below proj_tol
+        use_bf16 = (cfg.inner_bf16 and self.dtype == jnp.dtype(jnp.float32))
+        f_inner = f_cell.astype(jnp.bfloat16) if use_bf16 else f_cell
+
         def apply_F(xu):
             xum = xu * mask
-            yu, _ = ops.apply_blocks(params, f_cell, xum, zero_p,
+            yu, _ = ops.apply_blocks(params, f_inner, xum, zero_p,
                                      with_g=False, with_gt=False)
-            return yu * mask + sigma * (xu - xum)
+            return (yu * mask + sigma * (xu - xum)).astype(self.dtype)
 
         def apply_Bt_raw(xp):
             yu, _ = ops.apply_blocks(params, f_cell, jnp.zeros_like(u), xp,
@@ -486,6 +491,8 @@ class NavierStokes:
         if cfg.f_precond == "bj" and params.bj_plan is not None:
             inv_tiles = block_jacobi_inverse(
                 params.bj_plan, f_cell, mflat, sigma)
+            if use_bf16:
+                inv_tiles = inv_tiles.astype(jnp.bfloat16)
             pre_f = lambda r: block_jacobi_apply(params.bj_plan, inv_tiles, r)
         else:
             pre_f = lambda r: r * dinv

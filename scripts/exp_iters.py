@@ -41,6 +41,10 @@ CONFIGS = {
                           proj_p_maxiter=60),
     "proj-tol1e4": dict(scheme="projection", proj_f_maxiter=100,
                         proj_p_maxiter=50, outer_tol=1.0e-4),
+    "proj-bf16": dict(scheme="projection", inner_bf16=True),
+    "proj-bj16": dict(scheme="projection", bj_tile_blocks=16),
+    "proj-bf16-bj16": dict(scheme="projection", inner_bf16=True,
+                           bj_tile_blocks=16),
 }
 
 
@@ -93,6 +97,8 @@ def main():
         over = CONFIGS[name]
         for k, v in over.items():
             setattr(ns.config, k, v)
+        if "bj_tile_blocks" in over:
+            ns._build_cc_statics()  # rebuild the BJ tile plan
         ns._build_static()  # scheme/dt-dependent operator coefficients
         ns._chunks = {}  # config is baked into the trace -> recompile
         ns._init_state(0)

@@ -49,7 +49,7 @@ if case == "3d1":
     from navierstokes_tpu.mesh import duct_with_box_obstacle_3d
     mesh = duct_with_box_obstacle_3d(h=h)
     inlet = InletConfig(kind="biparabolic", u_m=0.45, height=0.41)
-    dt, T = 0.01, 2.0
+    dt, T = 0.01, 3.0
 else:
     wl = 1 if case == "2d2" else 0
     mesh = channel_with_cylinder_2d(h=h, h_near=h / 3, wake_levels=wl)
