@@ -98,6 +98,7 @@ class StepParams:
     # forcing-term quadrature data (None unless a forcing fn is set):
     forcing_xq: object      # (nc, n_q, dim) physical quadrature points
     forcing_w: object       # (nc, n_q, n_a) qw*phi_a*detJ scatter weights
+    mass_ell: object        # NodeEll | None: compact M for M u^n (bsr)
 
 
 class NavierStokes:
@@ -198,9 +199,17 @@ class NavierStokes:
             # 128 = planar-tile multiple (ops/bsr.py PLANAR_T); lcm with
             # the device count keeps GSPMD device_put sharding even
             from navierstokes_tpu.ops.bsr import PLANAR_T
+            # static_device=False: M/K blocks stay host-side; only the
+            # combined A0 is uploaded (_build_static) and the per-step
+            # M u^n uses the compact node-ELL mass — halves the resident
+            # F-family HBM (decisive for 3D fit)
             self.ell = build_bsr(sp, cells_host, dtype=self.dtype,
                                  bu=blk, bp=blk,
-                                 row_multiple=int(np.lcm(PLANAR_T, n_dev)))
+                                 row_multiple=int(np.lcm(PLANAR_T, n_dev)),
+                                 static_device=False)
+            from navierstokes_tpu.ops.p1ell import build_mass_node_ell
+            self._mass_ell = build_mass_node_ell(sp, cells_host,
+                                                 self.dtype)
             self._ops = BsrOps()
             self._coarse_plan = build_coarse_plan(self.ell,
                                                   cfg.schur_agg_blocks)
@@ -272,6 +281,9 @@ class NavierStokes:
         put_tree = lambda t: jax.tree.map(put, t)
 
         e = self.ell
+        host_attrs = {k: getattr(e, k) for k in
+                      ("host_f_cols", "host_g_cols", "host_m_blk",
+                       "host_k_blk") if hasattr(e, k)}
         self.ell = dataclasses.replace(
             e,
             # per-cell convection inputs + slot scatter
@@ -280,11 +292,15 @@ class NavierStokes:
             conv_slot_scatter=put_tree(e.conv_slot_scatter),
             pp_slot_scatter=put_tree(e.pp_slot_scatter),
             # block graphs + static values, sharded by block row
-            f_cols=put(e.f_cols), m_blk=put(e.m_blk), k_blk=put(e.k_blk),
+            f_cols=put(e.f_cols),
+            m_blk=put(e.m_blk) if e.m_blk is not None else None,
+            k_blk=put(e.k_blk) if e.k_blk is not None else None,
             g_cols=put(e.g_cols), g_blk=put(e.g_blk),
             b_cols=put(e.b_cols), b_blk=put(e.b_blk),
             pp_cols=put(e.pp_cols),
         )
+        for k, v in host_attrs.items():
+            setattr(self.ell, k, v)
         # The pressure-side statics (assembled Ap, coarse inverse, BJ tile
         # plan, diag_idx) are a few MB at the target scales — left
         # replicated; XLA partitions their per-step consumers as it sees
@@ -369,8 +385,14 @@ class NavierStokes:
             self.a0_cell = (ct / dt) * self.ell.m_vals \
                 + self.nu * self.ell.k_vals
         elif op == "bsr":
-            self.a0_cell = (ct / dt) * self.ell.m_blk \
-                + self.nu * self.ell.k_blk
+            if self.ell.m_blk is not None:
+                self.a0_cell = (ct / dt) * self.ell.m_blk \
+                    + self.nu * self.ell.k_blk
+            else:
+                # host combine + single upload (static blocks not resident)
+                self.a0_cell = jnp.asarray(
+                    (ct / dt) * self.ell.host_m_blk
+                    + self.nu * self.ell.host_k_blk, self.dtype)
         else:
             self.a0_cell = (ct / dt) * self.cells.mass \
                 + self.nu * self.cells.stiff
@@ -409,7 +431,8 @@ class NavierStokes:
                                                 None),
                           ap_dir_lam=getattr(self, "_ap_dir_lam", None),
                           forcing_xq=getattr(self, "_forcing_xq", None),
-                          forcing_w=getattr(self, "_forcing_w", None))
+                          forcing_w=getattr(self, "_forcing_w", None),
+                          mass_ell=getattr(self, "_mass_ell", None))
 
     def _step_projection(self, params: StepParams, u, p, t_prev,
                          u_prev=None):

@@ -49,8 +49,11 @@ class BsrData:
     # F block graph (velocity-velocity, scalar per component)
     f_cols: jax.Array            # (n_vb, KB) int32 block columns
     diag_idx: jax.Array          # (n_p2,) int32 flat index of diagonal
-    m_blk: jax.Array             # (n_vb, KB, bu, bu) static mass
-    k_blk: jax.Array             # (n_vb, KB, bu, bu) static stiffness
+    m_blk: object                # (n_vb, KB, bu, bu) static mass, or None
+    k_blk: object                # (n_vb, KB, bu, bu) static stiffness/None
+    # (None when the model keeps the static blocks host-side and uploads
+    # only the combined A0 — halves resident F-family HBM; see
+    # models/navier_stokes._build_static)
     # pressure coupling (static)
     g_cols: jax.Array            # (n_vb, KG) int32 pressure-block columns
     g_blk: jax.Array             # (n_vb, KG, dim, bu, bp)
@@ -96,7 +99,8 @@ def _block_pairs(rows, cols, bu, bv, n_rb):
 
 def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
               bu: int | None = None, bp: int | None = None,
-              row_multiple: int = 1) -> BsrData:
+              row_multiple: int = 1,
+              static_device: bool = True) -> BsrData:
     """Host construction.  ``cells`` = numpy CellArrays
     (assembly.cell_arrays_numpy).
 
@@ -225,7 +229,8 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
         conv_slot_scatter=conv_plan,
         f_cols=jnp.asarray(f_cols.astype(np.int32)),
         diag_idx=jnp.asarray(diag_idx.astype(np.int32)),
-        m_blk=f(m_blk), k_blk=f(k_blk),
+        m_blk=f(m_blk) if static_device else None,
+        k_blk=f(k_blk) if static_device else None,
         g_cols=jnp.asarray(g_cols.astype(np.int32)), g_blk=f(g_blk),
         b_cols=jnp.asarray(b_cols.astype(np.int32)), b_blk=f(b_blk),
         pp_cols=jnp.asarray(pp_cols.astype(np.int32)),
@@ -240,6 +245,8 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
     # fields) so they exist only on the freshly-built instance.
     out.host_f_cols = f_cols.astype(np.int64)
     out.host_g_cols = g_cols.astype(np.int64)
+    out.host_m_blk = m_blk
+    out.host_k_blk = k_blk
     return out
 
 
@@ -352,6 +359,8 @@ def f_diag(bsr: BsrData, f_blk):
 
 
 def mass_apply(bsr: BsrData, u):
+    assert bsr.m_blk is not None, \
+        "mass blocks are host-only; use the model's mass_ell path"
     return apply_f(bsr, bsr.m_blk, u)
 
 
@@ -419,6 +428,9 @@ class BsrOps:
         return f_diag(params.cells, f_blk)
 
     def mass_apply(self, params, u):
+        if params.cells.m_blk is None:
+            from navierstokes_tpu.ops.p1ell import node_mass_apply
+            return node_mass_apply(params.mass_ell, u)
         return mass_apply(params.cells, u)
 
     def schur_diag(self, params, node_weights):

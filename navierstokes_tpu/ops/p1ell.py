@@ -260,3 +260,52 @@ def block_jacobi_apply(plan: BlockJacobiPlan, inv_tiles, r):
         plan.n_tiles, plan.S * plan.bu, -1)
     y = jnp.matmul(inv_tiles, rb.astype(inv_tiles.dtype))
     return y.reshape(n, -1)[:plan.n_p2].astype(r.dtype)
+
+
+# ---------------------------------------------------------------------------
+# scalar node-graph mass operator (keeps the big BSR static blocks off HBM)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NodeEll:
+    """Scalar node-graph ELL matrix (one value per neighbor node)."""
+    cols: jax.Array    # (n, K) int32
+    vals: jax.Array    # (n, K)
+    n: int = dataclasses.field(metadata=_static)
+
+
+def build_mass_node_ell(space, cells_host, dtype) -> NodeEll:
+    """Consistent P2 mass matrix as a scalar node ELL (~tens of MB at
+    millions of DoFs vs GBs for the blocked form).  Used for the once-per-
+    step M u^n application when the blocked static matrices are kept
+    host-side (models/navier_stokes._build_static)."""
+    import scipy.sparse as sp
+
+    cp2 = np.asarray(space.cell_p2, np.int64)
+    nc, nv = cp2.shape
+    rows = np.repeat(cp2, nv, axis=1).ravel()
+    cols = np.tile(cp2, (1, nv)).ravel()
+    vals = np.asarray(cells_host.mass, np.float64).ravel()
+    M = sp.csr_matrix((vals, (rows, cols)),
+                      shape=(space.n_p2, space.n_p2))
+    M.sum_duplicates()
+    indptr, indices, data = M.indptr, M.indices, M.data
+    counts = np.diff(indptr)
+    K = int(counts.max())
+    n = space.n_p2
+    ctab = np.zeros((n, K), np.int64)
+    vtab = np.zeros((n, K))
+    for_rows = np.repeat(np.arange(n), counts)
+    k_of = np.arange(len(indices)) - np.repeat(indptr[:-1], counts)
+    ctab[for_rows, k_of] = indices
+    vtab[for_rows, k_of] = data
+    return NodeEll(cols=jnp.asarray(ctab.astype(np.int32)),
+                   vals=jnp.asarray(vtab, dtype), n=n)
+
+
+def node_mass_apply(m: NodeEll, u):
+    """y[i, :] = sum_k vals[i, k] * u[cols[i, k], :]."""
+    xg = jnp.take(u, m.cols, axis=0, mode="clip")       # (n, K, d)
+    return (m.vals[:, :, None] * xg).sum(axis=1)
