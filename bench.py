@@ -6,11 +6,13 @@ scenario (Re=100, parabolic inlet U_m=1.5) at ~1M Taylor-Hood DoFs,
 single TPU chip, fp32 — the same per-step physics the reference computes
 (assemble + solve + forces, src/NavierStokes.cpp:475-496).
 
-Headline scheme: the PRODUCTION projection scheme (BDF2 rotational
-incremental pressure-correction — physics validated against the
-published Schaefer-Turek values, VALIDATION.md: Cd_max 3.224 /
-Cl_max 1.019 / St 0.300).  The reference-parity monolithic
-FGMRES path is also measured and logged to stderr.
+Headline scheme: the PRODUCTION projection scheme (rotational
+incremental pressure-correction; BDF1 variant at this dt — the
+reference's own temporal order, see the stability note below; the BDF2
+variant is physics-validated against the published Schaefer-Turek
+values at CFL <~ 2, VALIDATION.md: Cd_max 3.224 / Cl_max 1.019 /
+St 0.300).  The reference-parity monolithic FGMRES path is also
+measured and logged to stderr.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md).  We compare
 against an estimated 0.125 steps/s for the deal.II/Trilinos reference at
@@ -72,10 +74,16 @@ def main():
     inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41)
     # outer_maxiter capped so a single step stays under the TPU runtime's
     # ~60 s per-program watchdog
+    # proj_bdf2=False at this operating point: dt=0.02 is CFL~8 near the
+    # cylinder, where BDF2's extrapolated convection linearization is
+    # unstable (measured); BDF1 matches the reference's own temporal
+    # order at the same dt.  BDF2 is the accuracy option at CFL <~ 2
+    # (VALIDATION.md).
     cfg = SolverConfig(dtype="float32", output_dir="/tmp/bench_out",
                        cache_dir="/tmp/bench_cache",
                        csv_path="/tmp/bench_forces.csv",
-                       scheme="projection", outer_maxiter=128)
+                       scheme="projection", proj_bdf2=False,
+                       outer_maxiter=128)
     ns = NavierStokes(mesh, 2, 1, deltat=0.02, T=1.0, step=10, inlet=inlet,
                       config=cfg)
     ns.set_re_number(100)

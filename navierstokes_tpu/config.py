@@ -141,6 +141,10 @@ class SolverConfig:
     # linearization C(2u^n - u^{n-1}) for the projection scheme: true
     # O(dt^2) velocity accuracy (the BDF1 variant inherits the monolithic
     # reference's first-order local error, which dominates Cl_max).
+    # STABILITY DOMAIN: the extrapolated convection is explicit — measured
+    # stable at CFL <~ 2 (all VALIDATION.md runs) but unstable at the
+    # CFL~8 bench point; use proj_bdf2=False there (reference-matching
+    # temporal order).
     proj_bdf2: bool = True
     # Relative tolerance of the projection sub-solves.  1e-4 is matched to
     # the O(dt^2) splitting error: measured Cd within 0.3% of the fully
