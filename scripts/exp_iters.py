@@ -42,7 +42,9 @@ CONFIGS = {
     "proj-tol1e4": dict(scheme="projection", proj_f_maxiter=100,
                         proj_p_maxiter=50, outer_tol=1.0e-4),
     "proj-bf16": dict(scheme="projection", inner_bf16=True),
-    "proj-bj16": dict(scheme="projection", bj_tile_blocks=16),
+    "proj-bj16": dict(scheme="projection", proj_bdf2=False,
+                      bj_tile_blocks=16),
+    "proj-bdf1": dict(scheme="projection", proj_bdf2=False),
     "proj-bf16-bj16": dict(scheme="projection", inner_bf16=True,
                            bj_tile_blocks=16),
 }
