@@ -185,7 +185,10 @@ class SolverConfig:
     # (cheapest per sweep but MEASURED UNSTABLE at the bench operating
     # point, CFL~8: outer FGMRES stalls at res ~3e-3 — scripts/exp_iters.py)
     f_solver: str = "bicgstab"
-    bj_tile_blocks: int = 8       # BSR block-rows per block-Jacobi tile
+    # BSR block-rows per block-Jacobi tile (tile size = this * bu nodes).
+    # 16 -> 256-node tiles: measured 25% faster overall than 8 at the
+    # 1M-DoF bench point (stronger preconditioner, fewer BiCGStab its).
+    bj_tile_blocks: int = 16
     # Planar (lane-major) F-matvec layout (ops/bsr.py apply_f_planar).
     # MEASURED 3x SLOWER end-to-end on v5e at 1M DoF (the per-matvec
     # operand transposes dominate); kept as an option for future Mosaic
