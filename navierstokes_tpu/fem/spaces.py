@@ -124,7 +124,7 @@ class TaylorHoodSpace:
         self._bf_cells, self._bf_locals = mesh.match_boundary_faces()
 
     def _reorder_p2(self):
-        """Morton-order the P2 nodes by their coordinates.
+        """Hilbert-order the P2 nodes by their coordinates.
 
         Vertices and edge midpoints interleave along the same space-filling
         curve that orders the mesh vertices (mesh/geometry.py

@@ -229,7 +229,7 @@ class Mesh:
         return self
 
     def reorder_spatial(self) -> "Mesh":
-        """Morton (Z-order) reordering of the vertices (in place).
+        """Hilbert-curve reordering of the vertices (in place).
 
         Space-filling-curve numbering makes any contiguous index range a
         compact spatial patch, so the blocked operators' neighbor-block

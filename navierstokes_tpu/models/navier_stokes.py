@@ -95,6 +95,7 @@ class StepParams:
     ap_dir: object          # EllBlocked | None
     ap_dir_sc_inv: object
     ap_dir_lam: object
+    ap_dir_pin: object      # (n_p1,) 0/1 mask, 0 at pinned outlet nodes
     # forcing-term quadrature data (None unless a forcing fn is set):
     forcing_xq: object      # (nc, n_q, dim) physical quadrature points
     forcing_w: object       # (nc, n_q, n_a) qw*phi_a*detJ scatter weights
@@ -348,6 +349,15 @@ class NavierStokes:
         out_nodes = (np.unique(self.mesh.boundary_faces[out_sel])
                      if np.any(out_sel) else None)
         self._ap_dir_pinned = out_nodes is not None
+        # 0/1 mask matching the eliminated rows/cols of assemble_p1_stiffness
+        # (rows/cols zeroed, diag=scale): the Poisson RHS must be zeroed at
+        # the pinned nodes too, or the solve yields phi_outlet =
+        # (B u*)/(dt_eff*scale) != 0 which feeds the velocity correction and
+        # accumulates into p every step.
+        pin = np.ones(sp.n_p1)
+        if self._ap_dir_pinned:
+            pin[out_nodes] = 0.0
+        self._ap_dir_pin = jnp.asarray(pin, self.dtype)
         self._ap_dir = assemble_p1_stiffness(sp, self._cells_host,
                                              self.dtype, b=self.ell.bp,
                                              dirichlet_nodes=out_nodes)
@@ -430,6 +440,7 @@ class NavierStokes:
                           ap_dir_sc_inv=getattr(self, "_ap_dir_sc_inv",
                                                 None),
                           ap_dir_lam=getattr(self, "_ap_dir_lam", None),
+                          ap_dir_pin=getattr(self, "_ap_dir_pin", None),
                           forcing_xq=getattr(self, "_forcing_xq", None),
                           forcing_w=getattr(self, "_forcing_w", None),
                           mass_ell=getattr(self, "_mass_ell", None))
@@ -556,11 +567,16 @@ class NavierStokes:
             n_cycles=1, smooth_k=cfg.schur_smooth_k, lam_max=lam)
         div_star = apply_B_raw(u_star)
         rhs_p = div_star / dt_eff
-        if not pinned:
+        if pinned:
+            # consistent Dirichlet elimination: zero the RHS (and the
+            # solution, against smoother drift) at the pinned outlet nodes
+            rhs_p = rhs_p * params.ap_dir_pin
+        else:
             rhs_p = rhs_p - jnp.mean(rhs_p)
         res_p = cg(apply_ap, rhs_p, tol=tol, maxiter=cfg.proj_p_maxiter,
                    precond=solve_ap)
-        phi = res_p.x if pinned else res_p.x - jnp.mean(res_p.x)
+        phi = (res_p.x * params.ap_dir_pin if pinned
+               else res_p.x - jnp.mean(res_p.x))
 
         # ---- correction + rotational pressure update ----
         u_new = u_star - dt_eff * (params.ap_w[:, None] * apply_Bt_raw(phi))
@@ -574,7 +590,13 @@ class NavierStokes:
         if params.faces_obst is not None:
             drag, lift = drag_lift(params.faces_obst, u_new, p_new,
                                    params.nu, formula=cfg.force_formula)
-            cd, cl = force_coefficients(drag, lift, params.u_mean0,
+            # pulsating drivers define get_mean_vel() WITH the sin factor
+            # (tests/2D/test_03/src/test_03.cpp:41-44) — normalize with the
+            # instantaneous mean there (force_coefficients clamps the
+            # denominator against the sin ~ 0 crossings)
+            u_norm = (params.u_mean0 * factor if self.inlet.pulsating
+                      else params.u_mean0)
+            cd, cl = force_coefficients(drag, lift, u_norm,
                                         cfg.ref_length, self.dim,
                                         cfg.span_3d)
         else:
@@ -813,10 +835,14 @@ class NavierStokes:
         if params.faces_obst is not None:
             drag, lift = drag_lift(params.faces_obst, u_new, p_new,
                                    params.nu, formula=cfg.force_formula)
-            # reference parity: get_mean_vel() is evaluated WITHOUT the
-            # pulsation factor (src/NavierStokes.cpp:911 has it commented
-            # out) — also avoids dividing by ~0 when sin(pi t/T) ~ 0
-            cd, cl = force_coefficients(drag, lift, params.u_mean0,
+            # each pulsating driver's get_mean_vel() includes the sin
+            # factor (tests/2D/test_03/src/test_03.cpp:41-44, evaluated at
+            # the assembled time), so normalize with the instantaneous
+            # mean for pulsating inlets; steady drivers keep the constant
+            # mean (src/NavierStokes.cpp:911)
+            u_norm = (params.u_mean0 * factor if self.inlet.pulsating
+                      else params.u_mean0)
+            cd, cl = force_coefficients(drag, lift, u_norm,
                                         cfg.ref_length, self.dim,
                                         cfg.span_3d)
         else:
@@ -1024,9 +1050,12 @@ class NavierStokes:
         """Force recomputation on the current state (cpp:831-929)."""
         drag, lift = drag_lift(self.faces_obst, self._u, self._p, self.nu,
                                formula=self.config.force_formula)
-        # no pulsation factor: reference get_mean_vel() parity (cpp:911)
-        cd, cl = force_coefficients(float(drag), float(lift),
-                                    self.inlet.steady_mean_velocity(),
+        t = self.time if time is None else time
+        # pulsating drivers' get_mean_vel() carries the sin factor
+        # (tests/2D/test_03/src/test_03.cpp:41-44); steady ones don't
+        u_norm = (self.inlet.mean_velocity(t) if self.inlet.pulsating
+                  else self.inlet.steady_mean_velocity())
+        cd, cl = force_coefficients(float(drag), float(lift), u_norm,
                                     self.config.ref_length, self.dim,
                                     self.config.span_3d)
         self.drag, self.lift = float(drag), float(lift)

@@ -69,9 +69,16 @@ def drag_lift(faces: FaceArrays, u, p, nu, formula: str = "reference"):
 
 
 def force_coefficients(drag, lift, u_mean, ref_length, dim, span_3d=0.41):
+    """Cd/Cl from raw integrals (cpp:913-922).  For pulsating inlets
+    ``u_mean`` is the instantaneous mean (driver get_mean_vel parity);
+    the denominator is clamped so the sin ~ 0 crossings yield huge-but-
+    finite coefficients instead of inf/nan."""
     denom = u_mean * u_mean * ref_length
     if dim == 3:
         denom = denom * span_3d
+    # weak-typed literal: preserves the operand dtype (f32 on device,
+    # f64 in the host/x64 paths)
+    denom = jnp.maximum(jnp.abs(denom), 1e-12)
     cd = 2.0 * -drag / denom
     cl = 2.0 * -lift / denom
     return cd, cl

@@ -17,6 +17,12 @@ import os
 
 import numpy as np
 
+# Canonical DoF-ordering version stamped into every checkpoint.  Bump when
+# the spatial reordering changes (it permutes every DoF vector silently):
+#   1 = Morton/Z-order (rounds <= 2 pre-Hilbert)
+#   2 = Hilbert curve (mesh/geometry.hilbert_order)
+ORDERING_VERSION = 2
+
 
 def checkpoint_path(cache_dir: str, time_step: int) -> str:
     return os.path.join(cache_dir, f"state-ns-{time_step}.npz")
@@ -29,7 +35,8 @@ def export_state(cache_dir: str, time_step: int, u, p, time: float,
     path = checkpoint_path(cache_dir, time_step)
     tmp = path + ".tmp"
     payload = dict(u=np.asarray(u), p=np.asarray(p),
-                   time=np.float64(time), time_step=np.int64(time_step))
+                   time=np.float64(time), time_step=np.int64(time_step),
+                   ordering_version=np.int64(ORDERING_VERSION))
     if extra:
         payload.update({k: np.asarray(v) for k, v in extra.items()})
     with open(tmp, "wb") as f:
@@ -42,6 +49,14 @@ def import_state(cache_dir: str, time_step: int):
     """Read a checkpoint; returns (u, p, time)."""
     path = checkpoint_path(cache_dir, time_step)
     with np.load(path) as z:
+        ver = int(z["ordering_version"]) if "ordering_version" in z.files \
+            else 1
+        if ver != ORDERING_VERSION:
+            raise ValueError(
+                f"checkpoint {path} was written with DoF-ordering version "
+                f"{ver}, but this build uses version {ORDERING_VERSION} "
+                "(Hilbert) — restoring would silently permute the solution. "
+                "Re-export the state from the build that wrote it.")
         return z["u"], z["p"], float(z["time"])
 
 

@@ -115,6 +115,64 @@ def test_pulsating_inlet(coarse_mesh, tmp_path):
     np.testing.assert_allclose(u[inlet_nodes, 0], expect, atol=1e-9)
 
 
+def test_projection_outlet_pressure_pinned(coarse_mesh, tmp_path):
+    """The projection Poisson solve eliminates the outlet nodes
+    (rows/cols zeroed, diag=scale); the RHS must be zeroed there too or
+    phi_outlet = (B u*)/(dt_eff*scale) != 0 leaks into p every step
+    (advisor finding, round 2).  After several steps the outlet pressure
+    must stay at the p_out=0 datum."""
+    # proj_rotational=False isolates the bug: without the (bounded,
+    # non-accumulating) rotational nu*div(u*) boundary correction, the
+    # outlet pressure must stay exactly at the p_out = 0 datum.
+    ns = _make(coarse_mesh, str(tmp_path), T=0.06, step=6,
+               scheme="projection", proj_bdf2=False,
+               proj_rotational=False).setup()
+    ns.solve()
+    out_nodes = np.unique(ns.mesh.boundary_faces[
+        ns.mesh.boundary_tags == 1])
+    p = np.asarray(ns._p)
+    assert np.abs(p[out_nodes]).max() < 1e-9, \
+        f"outlet pressure drifted: {np.abs(p[out_nodes]).max():.3e}"
+
+
+def test_checkpoint_ordering_version_guard(coarse_mesh, tmp_path):
+    """Checkpoints written under a different canonical DoF ordering must
+    fail loudly on import (advisor finding: a silent permuted restore)."""
+    ns = _make(coarse_mesh, str(tmp_path), T=0.01, step=1).setup()
+    ns._init_state(0)
+    ns.export_data(0)
+    import navierstokes_tpu.utils.checkpoint as ckpt
+    path = ckpt.checkpoint_path(ns.config.cache_dir, 0)
+    with np.load(path) as z:
+        payload = {k: z[k] for k in z.files}
+    assert int(payload["ordering_version"]) == ckpt.ORDERING_VERSION
+    payload["ordering_version"] = np.int64(1)  # stale Morton-era file
+    np.savez(path, **payload)
+    with pytest.raises(ValueError, match="ordering version"):
+        ckpt.import_state(ns.config.cache_dir, 0)
+
+
+def test_pulsating_normalization_uses_instantaneous_mean(coarse_mesh,
+                                                         tmp_path):
+    """Pulsating drivers' get_mean_vel() includes sin(pi t / T)
+    (tests/2D/test_03/src/test_03.cpp:41-44): Cd from the step metrics
+    must equal -2 drag / (U(t)^2 D) with the instantaneous mean."""
+    inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41,
+                        pulsating=True, period=8.0)
+    cfg = SolverConfig(dtype="float64",
+                       output_dir=str(tmp_path / "out"),
+                       cache_dir=str(tmp_path / "cache"),
+                       csv_path=str(tmp_path / "forces.csv"))
+    ns = NavierStokes(coarse_mesh, 2, 1, deltat=0.01, T=0.02, step=2,
+                      inlet=inlet, config=cfg)
+    ns.set_re_number(100)
+    ns.setup()
+    ns.solve()
+    u_t = inlet.mean_velocity(ns.time)
+    expect_cd = 2.0 * -ns.drag / (u_t * u_t * cfg.ref_length)
+    np.testing.assert_allclose(ns.cd, expect_cd, rtol=1e-10)
+
+
 def test_forcing_term_wired(coarse_mesh, tmp_path):
     """The ForcingTerm hook (src/NavierStokes.hpp:56-65, integrand
     cpp:240-243) enters the NS step RHS: a run with forcing f equals a
