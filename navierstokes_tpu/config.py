@@ -199,6 +199,18 @@ class SolverConfig:
     # slightly-slower on v5e (the blocked matvec is compute-lowering-bound,
     # not HBM-bound, because of the narrow rhs) — kept as an option.
     inner_bf16: bool = False
+    # Keep the inverted block-Jacobi tiles (the dominant preconditioner
+    # HBM stream, ~tile_nodes^2 * n_tiles bytes) in bfloat16.  Unlike
+    # inner_bf16 this touches ONLY the preconditioner apply — the operator,
+    # vectors and accumulation stay fp32 — so convergence is unaffected up
+    # to a slightly different (still SPD-equivalent) preconditioner.
+    bj_bf16: bool = True
+    # Consistent-mass realization for the once-per-step M u^n product:
+    #   "auto"    — blocked in 2D (fast: reuses the F gather structure),
+    #               node-ELL in 3D (compact: the blocked form would double
+    #               the resident F-family HBM and break the ~500k-DoF fit)
+    #   "blocked" | "node" — force either
+    mass_format: str = "auto"
 
     # Numerics
     dtype: str = "float32"        # compute dtype on device

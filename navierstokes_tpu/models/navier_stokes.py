@@ -208,9 +208,27 @@ class NavierStokes:
                                  bu=blk, bp=blk,
                                  row_multiple=int(np.lcm(PLANAR_T, n_dev)),
                                  static_device=False)
-            from navierstokes_tpu.ops.p1ell import build_mass_node_ell
-            self._mass_ell = build_mass_node_ell(sp, cells_host,
-                                                 self.dtype)
+            # Once-per-step consistent-mass product: the node-ELL form is
+            # compact but gathers (1,dim)-rows — measured 66 ms/step at 1M
+            # DoF on v5e vs ~6 ms for the blocked form (same graph as F).
+            # Blocked costs one extra F-sized buffer, so it is the 2D
+            # default only; 3D keeps the compact form (HBM fit).
+            mfmt = cfg.mass_format
+            if mfmt == "auto":
+                mfmt = "blocked" if self.dim == 2 else "node"
+            if mfmt == "blocked":
+                e = self.ell
+                host_attrs = {k: getattr(e, k) for k in dir(e)
+                              if k.startswith("host_")}
+                self.ell = dataclasses.replace(
+                    e, m_blk=jnp.asarray(e.host_m_blk, self.dtype))
+                for k, v in host_attrs.items():   # plain (non-pytree) attrs
+                    setattr(self.ell, k, v)
+                self._mass_ell = None
+            else:
+                from navierstokes_tpu.ops.p1ell import build_mass_node_ell
+                self._mass_ell = build_mass_node_ell(sp, cells_host,
+                                                     self.dtype)
             self._ops = BsrOps()
             self._coarse_plan = build_coarse_plan(self.ell,
                                                   cfg.schur_agg_blocks)
@@ -395,7 +413,7 @@ class NavierStokes:
             self.a0_cell = (ct / dt) * self.ell.m_vals \
                 + self.nu * self.ell.k_vals
         elif op == "bsr":
-            if self.ell.m_blk is not None:
+            if self.ell.m_blk is not None and self.ell.k_blk is not None:
                 self.a0_cell = (ct / dt) * self.ell.m_blk \
                     + self.nu * self.ell.k_blk
             else:
@@ -525,7 +543,8 @@ class NavierStokes:
         if cfg.f_precond == "bj" and params.bj_plan is not None:
             inv_tiles = block_jacobi_inverse(
                 params.bj_plan, f_cell, mflat, sigma)
-            if use_bf16:
+            if use_bf16 or (cfg.bj_bf16
+                            and self.dtype == jnp.dtype(jnp.float32)):
                 inv_tiles = inv_tiles.astype(jnp.bfloat16)
             pre_f = lambda r: block_jacobi_apply(params.bj_plan, inv_tiles, r)
         else:
@@ -719,7 +738,8 @@ class NavierStokes:
                 and self._operator == "bsr"):
             from navierstokes_tpu.ops.p1ell import (block_jacobi_apply,
                                                     block_jacobi_inverse)
-            inv_dtype = (jnp.bfloat16 if cfg.inner_bf16
+            inv_dtype = (jnp.bfloat16
+                         if (cfg.inner_bf16 or cfg.bj_bf16)
                          and self.dtype == jnp.dtype(jnp.float32)
                          else self.dtype)
             inv_tiles = block_jacobi_inverse(
