@@ -84,6 +84,12 @@ def main():
                        csv_path="/tmp/bench_forces.csv",
                        scheme="projection", proj_bdf2=False,
                        outer_maxiter=128)
+    # A/B knob for perf bisection: NS_BENCH_OVERRIDES='{"bj_bf16": true}'
+    overrides = os.environ.get("NS_BENCH_OVERRIDES")
+    if overrides:
+        for k, v in json.loads(overrides).items():
+            setattr(cfg, k, v)
+        log(f"config overrides: {overrides}")
     ns = NavierStokes(mesh, 2, 1, deltat=0.02, T=1.0, step=10, inlet=inlet,
                       config=cfg)
     ns.set_re_number(100)

@@ -35,7 +35,10 @@ class InletConfig:
     height: float = 0.41
     pulsating: bool = False
     period: float = 8.0
-    # Optional override: fn(points[(n, dim)], t) -> u_x values (n,)
+    # Optional override: fn(points[(n, dim)], t) -> (n,) u_x values, or
+    # (n, dim) full velocity vectors (reference InletVelocity::vector_value,
+    # src/NavierStokes.hpp:77-122 — every shipped driver is x-only but the
+    # hook is a full dim-vector Function)
     profile_fn: Optional[Callable] = None
     # Optional override of the mean velocity used for Re and Cd/Cl normalization.
     mean_override: Optional[float] = None
@@ -73,12 +76,14 @@ class InletConfig:
         raise ValueError(f"mean_override required for custom inlet {self.kind!r}")
 
     def evaluate(self, points, t: float):
-        """u_x at the given coordinates (host-side numpy).  y = points[:,1],
-        z = points[:,2] (3D)."""
+        """Inlet velocity at the given coordinates (host-side numpy):
+        (n,) u_x values for the builtin profiles, or whatever profile_fn
+        returns — (n,) x-only or (n, dim) full vectors."""
         import numpy as np
 
         pts = np.asarray(points)
         if self.profile_fn is not None:
+            # passthrough: the fn receives t and owns any time dependence
             return np.asarray(self.profile_fn(pts, t))
         H = self.height
         if self.kind == "uniform":
@@ -200,17 +205,22 @@ class SolverConfig:
     # not HBM-bound, because of the narrow rhs) — kept as an option.
     inner_bf16: bool = False
     # Keep the inverted block-Jacobi tiles (the dominant preconditioner
-    # HBM stream, ~tile_nodes^2 * n_tiles bytes) in bfloat16.  Unlike
-    # inner_bf16 this touches ONLY the preconditioner apply — the operator,
-    # vectors and accumulation stay fp32 — so convergence is unaffected up
-    # to a slightly different (still SPD-equivalent) preconditioner.
-    bj_bf16: bool = True
+    # HBM stream, ~tile_nodes^2 * n_tiles bytes) in bfloat16 — only the
+    # preconditioner apply; operator/vectors/accumulation stay fp32.
+    # MEASURED DIVERGENT at the CFL~8 1M-DoF bench point (BiCGStab stalls
+    # at the iteration budget, then NaN — same failure signature round 2
+    # attributed to inner_bf16, which also casts these tiles).  Usable at
+    # CFL <~ 2; default off.
+    bj_bf16: bool = False
     # Consistent-mass realization for the once-per-step M u^n product:
     #   "auto"    — blocked in 2D (fast: reuses the F gather structure),
     #               node-ELL in 3D (compact: the blocked form would double
     #               the resident F-family HBM and break the ~500k-DoF fit)
     #   "blocked" | "node" — force either
-    mass_format: str = "auto"
+    # Default "node" pending an open on-chip issue: with the blocked form
+    # the 1M-DoF CFL~8 bench NaNs deterministically by step ~5 even though
+    # the product itself matches node-ELL to 2e-12 (under diagnosis).
+    mass_format: str = "node"
 
     # Numerics
     dtype: str = "float32"        # compute dtype on device
@@ -223,6 +233,12 @@ class SolverConfig:
     #             formulation; used by the sharded path)
     operator: str = "bsr"
     bsr_block: int = 0            # 0 => auto (16 in 2D, 8 in 3D)
+    # Overflow split of the F block-ELL (ops/bsr.py): rows with more than
+    # this many column-block slots spill the excess into virtual rows,
+    # trimming ELL padding from every matvec's gather + value streams
+    # (K_max 16 vs mean 9.5 on the 1M-DoF 2D graph -> ~30% less traffic).
+    # 0 disables; -1 picks the row-count 90th percentile at build time.
+    bsr_f_kmax: int = 0
     # Two-level Schur solve (solvers/schur.py): pressure BSR blocks per
     # aggregate (coarse size = n_p1 / (bp * this)), V-cycle count and
     # Chebyshev smoothing steps per cycle.

@@ -207,7 +207,8 @@ class NavierStokes:
             self.ell = build_bsr(sp, cells_host, dtype=self.dtype,
                                  bu=blk, bp=blk,
                                  row_multiple=int(np.lcm(PLANAR_T, n_dev)),
-                                 static_device=False)
+                                 static_device=False,
+                                 f_kmax=cfg.bsr_f_kmax)
             # Once-per-step consistent-mass product: the node-ELL form is
             # compact but gathers (1,dim)-rows — measured 66 ms/step at 1M
             # DoF on v5e vs ~6 ms for the blocked form (same graph as F).
@@ -220,8 +221,11 @@ class NavierStokes:
                 e = self.ell
                 host_attrs = {k: getattr(e, k) for k in dir(e)
                               if k.startswith("host_")}
+                # cast on host: half the (tunneled) upload, and the on-the-
+                # fly f64->f32 device conversion path is not trusted here
+                m_host = np.asarray(e.host_m_blk, np.dtype(self.dtype))
                 self.ell = dataclasses.replace(
-                    e, m_blk=jnp.asarray(e.host_m_blk, self.dtype))
+                    e, m_blk=jnp.asarray(m_host, self.dtype))
                 for k, v in host_attrs.items():   # plain (non-pytree) attrs
                     setattr(self.ell, k, v)
                 self._mass_ell = None
@@ -301,8 +305,8 @@ class NavierStokes:
 
         e = self.ell
         host_attrs = {k: getattr(e, k) for k in
-                      ("host_f_cols", "host_g_cols", "host_m_blk",
-                       "host_k_blk") if hasattr(e, k)}
+                      ("host_f_cols", "host_ovf_rows", "host_g_cols",
+                       "host_m_blk", "host_k_blk") if hasattr(e, k)}
         self.ell = dataclasses.replace(
             e,
             # per-cell convection inputs + slot scatter
@@ -312,6 +316,7 @@ class NavierStokes:
             pp_slot_scatter=put_tree(e.pp_slot_scatter),
             # block graphs + static values, sharded by block row
             f_cols=put(e.f_cols),
+            ovf_rows=put(e.ovf_rows) if e.ovf_rows is not None else None,
             m_blk=put(e.m_blk) if e.m_blk is not None else None,
             k_blk=put(e.k_blk) if e.k_blk is not None else None,
             g_cols=put(e.g_cols), g_blk=put(e.g_blk),

@@ -65,7 +65,13 @@ def build_dirichlet(space: TaylorHoodSpace, inlet: InletConfig,
             return
         constrained[nodes] = True
         values[nodes] = 0.0
-        values[nodes, 0] = vals_fn(space.p2_coords[nodes])
+        v = np.asarray(vals_fn(space.p2_coords[nodes]))
+        if v.ndim == 2:
+            # full dim-vector profile (reference InletVelocity::vector_value,
+            # src/NavierStokes.hpp:77-122)
+            values[nodes, :] = v
+        else:
+            values[nodes, 0] = v
 
     present = set(space.mesh.boundary_tags.tolist())
 

@@ -46,8 +46,15 @@ class BsrData:
     jinv: jax.Array
     t_hat: jax.Array
     conv_slot_scatter: Scatter   # (nc*n_v*n_v,) -> flat F slots
-    # F block graph (velocity-velocity, scalar per component)
-    f_cols: jax.Array            # (n_vb, KB) int32 block columns
+    # F block graph (velocity-velocity, scalar per component).  With the
+    # overflow split (build_bsr f_kmax) the table has n_vb physical block
+    # rows followed by virtual rows holding the spill slots of high-degree
+    # rows; ovf_rows maps each virtual row back to its physical row and the
+    # apply adds a small scatter-add.  Cuts the ELL padding (~40% of the
+    # gather rows and value bytes at K_max=16, mean 9.5 on the 1M-DoF 2D
+    # bench graph) from every matvec.
+    f_cols: jax.Array            # (n_vb_ext, K) int32 block columns
+    ovf_rows: object             # None | (n_vb_ext - n_vb,) int32
     diag_idx: jax.Array          # (n_p2,) int32 flat index of diagonal
     m_blk: object                # (n_vb, KB, bu, bu) static mass, or None
     k_blk: object                # (n_vb, KB, bu, bu) static stiffness/None
@@ -69,6 +76,8 @@ class BsrData:
     n_p1: int = dataclasses.field(metadata=_static)
     bu: int = dataclasses.field(metadata=_static)
     bp: int = dataclasses.field(metadata=_static)
+    n_vb: int = dataclasses.field(metadata=_static, default=0)  # physical
+    # block rows (0 => f_cols.shape[0], i.e. no overflow split)
 
 
 def _block_pairs(rows, cols, bu, bv, n_rb):
@@ -100,7 +109,8 @@ def _block_pairs(rows, cols, bu, bv, n_rb):
 def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
               bu: int | None = None, bp: int | None = None,
               row_multiple: int = 1,
-              static_device: bool = True) -> BsrData:
+              static_device: bool = True,
+              f_kmax: int = 0) -> BsrData:
     """Host construction.  ``cells`` = numpy CellArrays
     (assembly.cell_arrays_numpy).
 
@@ -125,19 +135,58 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
     # ---- F block graph ----------------------------------------------------
     rows = np.repeat(cp2, nv, axis=1).reshape(-1)
     cols = np.tile(cp2, (1, nv)).reshape(-1)
-    f_cols, KB, pair_keys, _, k_of_pair, stride = _block_pairs(
+    f_cols, KB, pair_keys, pr_row, k_of_pair, stride = _block_pairs(
         rows, cols, bu, bu, n_vb)
+
+    # Re-order each block-row's slots diagonal-first (then ascending), so
+    # the diagonal always stays in the physical table under the overflow
+    # split below and f_diag needs no special casing.
+    pc = (pair_keys % stride).astype(np.int64)
+    is_diag = pc == pr_row
+    diag_pos = np.zeros(n_vb, np.int64)
+    diag_pos[pr_row[is_diag]] = k_of_pair[is_diag]
+    kn = np.where(is_diag, 0,
+                  np.where(k_of_pair < diag_pos[pr_row],
+                           k_of_pair + 1, k_of_pair))
+
+    # Overflow split: slots kn >= K0 spill to virtual block rows (one per
+    # (row, chunk-of-K0) with spill), appended after the physical rows.
+    if f_kmax == -1:      # auto: 90th percentile of row slot counts
+        counts = np.bincount(pr_row, minlength=n_vb)
+        f_kmax = int(np.percentile(counts[counts > 0], 90))
+    K0 = f_kmax if 0 < f_kmax < KB else KB
+    over = kn >= K0
+    ovf_rows_host = np.zeros(0, np.int64)
+    if over.any():
+        chunk = (kn[over] - K0) // K0
+        vkey = pr_row[over] * 64 + chunk            # chunk < 64 always
+        uniq, vinv = np.unique(vkey, return_inverse=True)
+        n_or = rup(len(uniq))
+        ovf_rows_host = np.zeros(n_or, np.int64)    # pad rows scatter to 0
+        ovf_rows_host[:len(uniq)] = uniq // 64
+        vrow_pair = np.where(over, 0, pr_row)       # placeholder
+        vrow_pair[over] = n_vb + vinv
+        kext_pair = np.where(over, (kn - K0) % K0, kn)
+    else:
+        n_or = 0
+        vrow_pair = pr_row
+        kext_pair = kn
+    n_vb_ext = n_vb + n_or
+    f_cols = np.zeros((n_vb_ext, K0), dtype=np.int64)
+    f_cols[vrow_pair, kext_pair] = pc
+
+    # per element-matrix entry: flat slot in the extended value array
     want = (rows // bu).astype(np.int64) * stride + (cols // bu)
     pos = np.searchsorted(pair_keys, want)
-    kb = k_of_pair[pos]
-    I = rows // bu
-    slot = ((I * KB + kb) * bu + rows % bu) * bu + (cols % bu)
+    slot = ((vrow_pair[pos] * K0 + kext_pair[pos]) * bu
+            + rows % bu) * bu + (cols % bu)
 
-    n_slots = n_vb * KB * bu * bu
+    n_slots = n_vb_ext * K0 * bu * bu
     slot_all = slot.astype(np.int64)
     if nc_pad:
         # padding cells scatter their (zero) contributions into the last
-        # slot, which belongs to a padding block row — never read back
+        # slot, which belongs to a padding/virtual block row whose value
+        # never reaches a physical row with nonzero weight
         slot_all = np.concatenate(
             [slot_all, np.full(nc_pad * nv * nv, n_slots - 1, np.int64)])
     conv_plan = build_scatter(slot_all.reshape(-1, 1), n_slots)
@@ -145,19 +194,20 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
     def reduce_blk(elem_vals):
         out = np.zeros(n_slots)
         np.add.at(out, slot, elem_vals.reshape(-1))
-        return out.reshape(n_vb, KB, bu, bu)
+        return out.reshape(n_vb_ext, K0, bu, bu)
 
     m_blk = reduce_blk(np.asarray(cells.mass, np.float64))
     k_blk = reduce_blk(np.asarray(cells.stiff, np.float64))
 
-    # diagonal flat index per node
+    # diagonal flat index per node (diag-first ordering => slot 0, but
+    # computed generically through the pair lookup)
     i_all = np.arange(n_p2, dtype=np.int64)
     Iall = i_all // bu
     want_d = Iall * stride + Iall
     pos_d = np.searchsorted(pair_keys, want_d)
     # diagonal block must exist (every node couples to itself)
-    kb_d = k_of_pair[pos_d]
-    diag_idx = ((Iall * KB + kb_d) * bu + i_all % bu) * bu + (i_all % bu)
+    diag_idx = ((vrow_pair[pos_d] * K0 + kext_pair[pos_d]) * bu
+                + i_all % bu) * bu + (i_all % bu)
 
     # ---- G (u rows, p cols), static ----------------------------------------
     grad = np.asarray(cells.grad, np.float64)            # (nc, nv, dim, npp)
@@ -228,6 +278,8 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
         t_hat=f(space.rs.T_hat),
         conv_slot_scatter=conv_plan,
         f_cols=jnp.asarray(f_cols.astype(np.int32)),
+        ovf_rows=(jnp.asarray(ovf_rows_host.astype(np.int32))
+                  if n_or else None),
         diag_idx=jnp.asarray(diag_idx.astype(np.int32)),
         m_blk=f(m_blk) if static_device else None,
         k_blk=f(k_blk) if static_device else None,
@@ -237,13 +289,14 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
         pp_slot_scatter=pp_plan,
         tp_hat=f(space.rs.Tp_hat),
         cell_p1=jnp.asarray(pad_cells(space.cell_p1, nc_pad)),
-        n_p2=n_p2, n_p1=n_p1, bu=bu, bp=bp,
+        n_p2=n_p2, n_p1=n_p1, bu=bu, bp=bp, n_vb=n_vb,
     )
     # Host copies of the graph tables, used by setup-time consumers
     # (coarse plan, block-Jacobi plan).  Pulling these back off the device
     # costs ~80 s EACH over a tunneled TPU; plain attributes (not pytree
     # fields) so they exist only on the freshly-built instance.
     out.host_f_cols = f_cols.astype(np.int64)
+    out.host_ovf_rows = ovf_rows_host
     out.host_g_cols = g_cols.astype(np.int64)
     out.host_m_blk = m_blk
     out.host_k_blk = k_blk
@@ -255,11 +308,24 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
 # ---------------------------------------------------------------------------
 
 
+def _n_vb_phys(bsr: BsrData) -> int:
+    return bsr.n_vb or bsr.f_cols.shape[0]
+
+
 def _ublocks(bsr: BsrData, xu):
-    n_vb = bsr.f_cols.shape[0]
+    n_vb = _n_vb_phys(bsr)
     pad = n_vb * bsr.bu - bsr.n_p2
     xp_ = jnp.pad(xu, ((0, pad), (0, 0)))
     return xp_.reshape(n_vb, bsr.bu, -1)
+
+
+def _fold_overflow(bsr: BsrData, y):
+    """Add virtual-row partial sums back into their physical block rows.
+    y: (n_vb_ext, bu, d) -> (n_vb, bu, d)."""
+    if bsr.ovf_rows is None:
+        return y
+    n_vb = _n_vb_phys(bsr)
+    return y[:n_vb].at[bsr.ovf_rows].add(y[n_vb:])
 
 
 def _pblocks(bsr: BsrData, p):
@@ -277,7 +343,7 @@ def apply_f(bsr: BsrData, f_blk, xu):
     1M DoF).  The explicit multiply + reduce keeps it on the VPU at memory
     bandwidth."""
     xb = _ublocks(bsr, xu)
-    xg = jnp.take(xb, bsr.f_cols, axis=0, mode="clip")               # (n_vb, KB, bu, dim)
+    xg = jnp.take(xb, bsr.f_cols, axis=0, mode="clip")               # (n_vb_ext, KB, bu, dim)
     if f_blk.dtype == jnp.bfloat16:
         # mixed precision: bf16 value reads (the dominant HBM traffic),
         # fp32 accumulation
@@ -285,6 +351,7 @@ def apply_f(bsr: BsrData, f_blk, xu):
         y = prod.astype(jnp.float32).sum(axis=(1, 3))
     else:
         y = (f_blk[..., None] * xg[:, :, None]).sum(axis=(1, 3))
+    y = _fold_overflow(bsr, y)
     return y.reshape(-1, xu.shape[1])[:bsr.n_p2].astype(xu.dtype)
 
 
@@ -323,8 +390,9 @@ def apply_f_planar(bsr: BsrData, f_planar, xu):
     else:
         y = (f_planar[:, :, :, :, None, :]
              * xg[:, :, None, :, :, :]).sum(axis=(1, 3))
-    y = y.transpose(0, 3, 1, 2).reshape(-1, d)[:bsr.n_p2]
-    return y.astype(xu.dtype)
+    y = y.transpose(0, 3, 1, 2).reshape(-1, bsr.bu, d)  # (n_vb_ext, bu, d)
+    y = _fold_overflow(bsr, y)
+    return y.reshape(-1, d)[:bsr.n_p2].astype(xu.dtype)
 
 
 def apply_bt(bsr: BsrData, p):

@@ -209,23 +209,35 @@ class BlockJacobiPlan:
 
 
 def build_block_jacobi_plan(bsr, S: int = 8) -> BlockJacobiPlan:
-    f_cols = getattr(bsr, "host_f_cols", None)           # (n_vb, KB)
+    f_cols = getattr(bsr, "host_f_cols", None)           # (n_vb_ext, KB)
     if f_cols is None:
         f_cols = np.asarray(bsr.f_cols, np.int64)
-    n_vb, KB = f_cols.shape
+    n_vb_ext, KB = f_cols.shape
+    # overflow split (ops/bsr.py): rows past n_vb are virtual spill rows of
+    # the physical row host_ovf_rows[v]; their slots belong to that row's
+    # tile diagonal like any other
+    ovf = getattr(bsr, "host_ovf_rows", None)
+    n_vb = getattr(bsr, "n_vb", 0) or n_vb_ext
+    if ovf is None and n_vb_ext > n_vb:
+        ovf = np.asarray(bsr.ovf_rows, np.int64)
+    row_phys = np.arange(n_vb_ext)
+    if n_vb_ext > n_vb:
+        row_phys[n_vb:] = ovf
     n_tiles = -(-n_vb // S)
-    idx = np.full((n_tiles, S, S), n_vb * KB, np.int64)  # default: zero blk
-    r = np.repeat(np.arange(n_vb), KB)
-    k = np.tile(np.arange(KB), n_vb)
+    idx = np.full((n_tiles, S, S), n_vb_ext * KB, np.int64)  # zero blk
+    r = np.repeat(row_phys, KB)
+    v = np.repeat(np.arange(n_vb_ext), KB)
+    k = np.tile(np.arange(KB), n_vb_ext)
     c = f_cols.reshape(-1)
     on_tile = (r // S) == (c // S)
-    r, k, c = r[on_tile], k[on_tile], c[on_tile]
+    r, v, k, c = r[on_tile], v[on_tile], k[on_tile], c[on_tile]
     # ELL padding slots carry block-column 0 with zero values; write
-    # k-descending so a real (r, 0) pair (low k) overwrites any padding
-    # collision rather than the reverse
-    order = np.argsort(-k, kind="stable")
-    r, k, c = r[order], k[order], c[order]
-    idx[r // S, r % S, c % S] = r * KB + k
+    # k-descending, virtual rows first, so a real physical (r, 0) pair
+    # (low k) overwrites any padding collision rather than the reverse
+    order = np.lexsort((-k, -v))
+    r, v, k = r[order], v[order], k[order]
+    c = c[order]
+    idx[r // S, r % S, c % S] = v * KB + k
     return BlockJacobiPlan(idx=jnp.asarray(idx.astype(np.int32)),
                            n_tiles=n_tiles, S=S, bu=bsr.bu, n_p2=bsr.n_p2)
 

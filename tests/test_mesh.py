@@ -137,3 +137,26 @@ def test_read_gmsh_v41_fixture():
     from navierstokes_tpu.fem.spaces import TaylorHoodSpace
     sp = TaylorHoodSpace(mesh, 2, 1)
     assert sp.n_dofs == 2 * sp.n_p2 + sp.n_p1
+
+
+@pytest.mark.parametrize("version", ["2.2", "4.1"])
+@pytest.mark.parametrize("dim", [2, 3])
+def test_msh_binary_roundtrip(tmp_path, version, dim):
+    """Binary .msh (gmsh -bin output shape) reads back identically to the
+    ASCII form — points, cells, tags (deal.II GridIn::read_msh ingests
+    binary too, reference src/NavierStokes.cpp:11-17)."""
+    from navierstokes_tpu.mesh.msh_io import write_msh_binary
+    m = channel_with_cylinder_2d(h=0.12) if dim == 2 else box_3d(n=2)
+    pa = str(tmp_path / "a.msh")
+    pb = str(tmp_path / "b.msh")
+    write_msh(m, pa)
+    write_msh_binary(m, pb, version=version)
+    ma = read_msh(pa)
+    mb = read_msh(pb)
+    np.testing.assert_allclose(mb.points, ma.points, atol=1e-12)
+    np.testing.assert_array_equal(mb.cells, ma.cells)
+    assert (sorted(mb.boundary_tags.tolist())
+            == sorted(ma.boundary_tags.tolist()))
+    rows = lambda f: {tuple(sorted(r)) for r in f.tolist()}
+    assert rows(mb.boundary_faces) == rows(ma.boundary_faces)
+    mb.validate()

@@ -75,6 +75,42 @@ def test_bsr_parity(problem):
                                np.asarray(E.schur_diag(ell, w)), atol=1e-12)
 
 
+def test_bsr_overflow_split_parity(problem):
+    """The overflow-split table (f_kmax) must reproduce the unsplit BSR
+    operator exactly: apply, diag, mass, and the block-Jacobi tiles."""
+    from navierstokes_tpu.ops.p1ell import (block_jacobi_apply,
+                                            block_jacobi_inverse,
+                                            build_block_jacobi_plan)
+    sp, u, p = problem["sp"], problem["u"], problem["p"]
+    # small f_kmax forces spill on most rows (KB is ~10-30 on these meshes)
+    bsr = B.build_bsr(sp, problem["host"], dtype=jnp.float64, f_kmax=5)
+    assert bsr.ovf_rows is not None
+    f_blk = bsr.m_blk / 0.05 + 0.3 * bsr.k_blk + B.convection_blk(bsr, u)
+    yu = B.apply_f(bsr, f_blk, u)
+    yu_ref = problem["yu"] - np.asarray(B.apply_bt(bsr, p))
+    np.testing.assert_allclose(np.asarray(yu), yu_ref, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(B.f_diag(bsr, f_blk)),
+                               problem["d"], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(B.mass_apply(bsr, u)),
+                               problem["m"], atol=1e-12)
+    # block-Jacobi tiles: split vs unsplit plans agree
+    bsr0 = B.build_bsr(sp, problem["host"], dtype=jnp.float64)
+    f0 = bsr0.m_blk / 0.05 + 0.3 * bsr0.k_blk + B.convection_blk(bsr0, u)
+    mask = jnp.ones(sp.n_p2, jnp.float64)
+    r = u
+    for S in (4, 8):
+        plan = build_block_jacobi_plan(bsr, S=S)
+        plan0 = build_block_jacobi_plan(bsr0, S=S)
+        t = block_jacobi_inverse(plan, f_blk, mask, 1.0)
+        t0 = block_jacobi_inverse(plan0, f0, mask, 1.0)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t0),
+                                   atol=1e-10)
+        y = block_jacobi_apply(plan, t, r)
+        y0 = block_jacobi_apply(plan0, t0, r)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y0),
+                                   atol=1e-10)
+
+
 def test_morton_order_locality():
     rng = np.random.default_rng(0)
     pts = rng.random((4096, 2))

@@ -101,3 +101,46 @@ def test_poiseuille_from_rest(tmp_path):
     u_ex = 4 * um * y * (ly - y) / ly ** 2
     err = np.abs(np.asarray(ns._u)[:, 0] - u_ex).max()
     assert err < 1e-4 * um, err
+
+def test_vector_valued_inlet_profile(tmp_path):
+    """The inlet hook accepts full dim-vector profiles (reference
+    InletVelocity::vector_value, src/NavierStokes.hpp:77-122): boundary
+    values carry both components and a step preserves them exactly."""
+    import jax.numpy as jnp
+
+    lx, ly = 2.0, 1.0
+    mesh = rectangle_2d(lx, ly, 10, 5)
+
+    def profile(pts, t):
+        y = pts[:, 1]
+        out = np.zeros((len(pts), 2))
+        out[:, 0] = 4 * 1.5 * y * (ly - y) / ly ** 2
+        out[:, 1] = 0.2 * np.sin(np.pi * y / ly)      # transverse component
+        return out
+
+    inlet = InletConfig(kind="custom", profile_fn=profile,
+                        mean_override=1.0, height=ly)
+    cfg = SolverConfig(dtype="float64", nu=0.05,
+                       output_dir=str(tmp_path / "o"),
+                       cache_dir=str(tmp_path / "c"),
+                       csv_path=str(tmp_path / "f.csv"))
+    ns = NavierStokes(mesh, 2, 1, deltat=0.05, T=0.1, step=2, inlet=inlet,
+                      config=cfg)
+    ns.setup()
+    ns._init_state(0)
+
+    # base_values carry the y-component on inlet nodes
+    inlet_nodes = ns.space.p2_nodes_on_tag(3)
+    bv = np.asarray(ns.bc.base_values)
+    pts = ns.space.p2_coords[inlet_nodes]
+    expect = profile(pts, 0.0)
+    np.testing.assert_allclose(bv[inlet_nodes], expect, atol=1e-12)
+
+    ns.solve_time_step()
+    u = np.asarray(ns._u)
+    # interior inlet nodes hold the full vector value after the step
+    # (corner nodes are overridden by the wall precedence, cpp:303-318)
+    interior = inlet_nodes[(pts[:, 1] > 1e-9) & (pts[:, 1] < ly - 1e-9)]
+    np.testing.assert_allclose(u[interior],
+                               profile(ns.space.p2_coords[interior], 0.0),
+                               atol=1e-12)
