@@ -71,7 +71,13 @@ def main():
     from navierstokes_tpu.models.navier_stokes import NavierStokes
 
     mesh = build_mesh()
-    inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41)
+    # ramp: smooth (raised-cosine) start over the first 4 steps.  The
+    # impulsive start at this dt (CFL~8) is a measured knife edge: early
+    # solves stagnate near the iteration cap and epsilon-level arithmetic
+    # differences can flip them into divergence (see SolverConfig.
+    # mass_format note).  The ramp removes the pathology; the measured
+    # window (steps 11-20) is past it either way.
+    inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41, ramp=0.08)
     # outer_maxiter capped so a single step stays under the TPU runtime's
     # ~60 s per-program watchdog
     # proj_bdf2=False at this operating point: dt=0.02 is CFL~8 near the
@@ -105,10 +111,11 @@ def main():
     run = ns._chunk_fn(1)
     log("compiling + warmup (projection scheme) ...")
     t0 = time.time()
-    u, p, up, t = ns._u, ns._p, ns._u_prev, jnp.asarray(0.0, ns.dtype)
+    u, p, up, phi, t = (ns._u, ns._p, ns._u_prev, ns._phi,
+                        jnp.asarray(0.0, ns.dtype))
     iters = []
     for k in range(WARMUP_STEPS):
-        u, p, up, t, ms = run(params, u, p, up, t)
+        u, p, up, phi, t, ms = run(params, u, p, up, phi, t)
         iters.append(int(ms.iterations[0]))
     log(f"warmup ({WARMUP_STEPS} steps incl. compile): "
         f"{time.time() - t0:.1f}s; iters {iters}")
@@ -116,7 +123,7 @@ def main():
     t0 = time.time()
     iters = []
     for k in range(MEASURE_STEPS):
-        u, p, up, t, ms = run(params, u, p, up, t)
+        u, p, up, phi, t, ms = run(params, u, p, up, phi, t)
         iters.append(int(ms.iterations[0]))  # forces execution
     wall = time.time() - t0
     steps_per_sec = MEASURE_STEPS / wall
@@ -130,12 +137,13 @@ def main():
         ns.config.scheme = "monolithic"
         ns._chunks = {}
         run_m = ns._chunk_fn(1)
-        um, pm, upm, tm = u, p, up, t  # continue from the developed state
-        um, pm, upm, tm, _ = run_m(params, um, pm, upm, tm)  # compile
+        # continue from the developed state
+        um, pm, upm, phm, tm = u, p, up, phi, t
+        um, pm, upm, phm, tm, _ = run_m(params, um, pm, upm, phm, tm)
         t0 = time.time()
         its_m = []
         for k in range(MONO_STEPS):
-            um, pm, upm, tm, msm = run_m(params, um, pm, upm, tm)
+            um, pm, upm, phm, tm, msm = run_m(params, um, pm, upm, phm, tm)
             its_m.append(int(msm.iterations[0]))
         wall_m = time.time() - t0
         log(f"monolithic (reference-parity): {MONO_STEPS} steps in "

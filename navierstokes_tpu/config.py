@@ -35,6 +35,13 @@ class InletConfig:
     height: float = 0.41
     pulsating: bool = False
     period: float = 8.0
+    # Smooth (C1, raised-cosine) start-up ramp length in seconds; 0 = the
+    # reference's impulsive start.  An impulsive start at CFL >~ 4 puts the
+    # first few solves on a knife edge (stagnating Krylov iterations that
+    # can amplify epsilon-level perturbations into divergence at 1M DoF);
+    # a short ramp removes the pathology without changing the developed
+    # flow the benchmarks measure.
+    ramp: float = 0.0
     # Optional override: fn(points[(n, dim)], t) -> (n,) u_x values, or
     # (n, dim) full velocity vectors (reference InletVelocity::vector_value,
     # src/NavierStokes.hpp:77-122 — every shipped driver is x-only but the
@@ -44,7 +51,10 @@ class InletConfig:
     mean_override: Optional[float] = None
 
     def time_factor(self, t: float) -> float:
-        return math.sin(math.pi * t / self.period) if self.pulsating else 1.0
+        f = math.sin(math.pi * t / self.period) if self.pulsating else 1.0
+        if self.ramp and t < self.ramp:
+            f *= 0.5 - 0.5 * math.cos(math.pi * t / self.ramp)
+        return f
 
     def mean_velocity(self, t: float = 0.0) -> float:
         if self.mean_override is not None:
@@ -217,10 +227,16 @@ class SolverConfig:
     #               node-ELL in 3D (compact: the blocked form would double
     #               the resident F-family HBM and break the ~500k-DoF fit)
     #   "blocked" | "node" — force either
-    # Default "node" pending an open on-chip issue: with the blocked form
-    # the 1M-DoF CFL~8 bench NaNs deterministically by step ~5 even though
-    # the product itself matches node-ELL to 2e-12 (under diagnosis).
-    mass_format: str = "node"
+    # Robustness note (diagnosed on-chip at the 1M-DoF CFL~8 bench point):
+    # an IMPULSIVE start there sits on a knife edge — steps 2-4 stagnate
+    # near the BiCGStab iteration cap and ANY epsilon-level change to the
+    # arithmetic (the blocked form's different fp32 summation order, bf16
+    # preconditioner tiles) can tip a near-stagnating solve into outright
+    # failure and NaN within ~3 further steps, while the node form happens
+    # to survive.  With a short inlet ramp (InletConfig.ramp ~ 4 dt) the
+    # same blocked configuration is robustly stable (30/30 steps, its
+    # 117 -> 46).  Use `ramp` for impulsive high-CFL starts.
+    mass_format: str = "auto"
 
     # Numerics
     dtype: str = "float32"        # compute dtype on device

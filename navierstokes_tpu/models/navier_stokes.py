@@ -438,9 +438,13 @@ class NavierStokes:
     # ------------------------------------------------------------------
 
     def _time_factor(self, t):
-        if self.inlet.pulsating:
-            return jnp.sin(jnp.pi * t / self.inlet.period)
-        return jnp.asarray(1.0, self.dtype)
+        f = (jnp.sin(jnp.pi * t / self.inlet.period)
+             if self.inlet.pulsating else jnp.asarray(1.0, self.dtype))
+        r = self.inlet.ramp
+        if r:
+            f = f * jnp.where(t >= r, jnp.asarray(1.0, self.dtype),
+                              0.5 - 0.5 * jnp.cos(jnp.pi * t / r))
+        return f.astype(self.dtype)
 
     def _params(self) -> StepParams:
         opdata = self.ell if self._operator in ("ell", "bsr") else self.cells
@@ -469,7 +473,7 @@ class NavierStokes:
                           mass_ell=getattr(self, "_mass_ell", None))
 
     def _step_projection(self, params: StepParams, u, p, t_prev,
-                         u_prev=None):
+                         u_prev=None, phi_prev=None):
         """Rotational incremental pressure-correction step — the TPU
         performance scheme (config.scheme='projection').
 
@@ -597,8 +601,11 @@ class NavierStokes:
             rhs_p = rhs_p * params.ap_dir_pin
         else:
             rhs_p = rhs_p - jnp.mean(rhs_p)
-        res_p = cg(apply_ap, rhs_p, tol=tol, maxiter=cfg.proj_p_maxiter,
-                   precond=solve_ap)
+        # warm start: phi (the pressure increment) varies slowly between
+        # consecutive steps in developed flow — the previous increment cuts
+        # the CG iteration count materially at small dt
+        res_p = cg(apply_ap, rhs_p, x0=phi_prev, tol=tol,
+                   maxiter=cfg.proj_p_maxiter, precond=solve_ap)
         phi = (res_p.x * params.ap_dir_pin if pinned
                else res_p.x - jnp.mean(res_p.x))
 
@@ -632,18 +639,22 @@ class NavierStokes:
                               residual=jnp.maximum(res_f.residual,
                                                    res_p.residual),
                               drag=drag, lift=lift, cd=cd, cl=cl)
-        return u_new, p_new, t_new, metrics
+        return u_new, p_new, t_new, phi, metrics
 
-    def _step_fn(self, params: StepParams, u, p, t_prev, u_prev=None):
-        """One semi-implicit step: returns (u_new, p_new, t_new, metrics).
-        ``u_prev`` (solution at n-1) enables the second-order extrapolated
-        initial guess 2u - u_prev for the outer Krylov solve."""
+    def _step_fn(self, params: StepParams, u, p, t_prev, u_prev=None,
+                 phi_prev=None):
+        """One semi-implicit step: returns
+        (u_new, p_new, t_new, phi, metrics).  ``u_prev`` (solution at n-1)
+        enables the second-order extrapolated initial guess 2u - u_prev
+        for the outer Krylov solve; ``phi_prev`` warm-starts the
+        projection scheme's pressure-increment solve (unused and passed
+        through by the monolithic scheme)."""
         cfg = self.config
         if cfg.scheme == "projection":
             assert self._operator == "bsr", \
                 "scheme='projection' requires operator='bsr'"
             return self._step_projection(params, u, p, t_prev,
-                                         u_prev=u_prev)
+                                         u_prev=u_prev, phi_prev=phi_prev)
         ops = self._ops
         bc = params.bc
         mask = bc.mask                                  # (n_p2, 1)
@@ -876,26 +887,31 @@ class NavierStokes:
         metrics = StepMetrics(time=t_new, iterations=res.iterations,
                               residual=res.residual, drag=drag, lift=lift,
                               cd=cd, cl=cl)
-        return u_new, p_new, t_new, metrics
+        phi = (jnp.zeros_like(p) if phi_prev is None else phi_prev)
+        return u_new, p_new, t_new, phi, metrics
 
     def _chunk_fn(self, n_steps: int):
         """Compiled scan over n_steps time steps.  All mesh/operator data
         flows in through the params pytree argument — the compiled program
         is value-independent, so XLA's persistent cache can reuse it across
-        scenarios and instances with the same mesh shapes."""
+        scenarios and instances with the same mesh shapes.
+
+        State tuple: (u, p, u_prev, phi, t) — ``phi`` is the projection
+        scheme's last pressure increment (warm start; zeros to seed)."""
         if n_steps not in self._chunks:
-            def run(params, u, p, u_prev, t0):
+            def run(params, u, p, u_prev, phi, t0):
                 def body(carry, _):
-                    u, p, u_prev, t = carry
-                    u_new, p_new, t, m = self._step_fn(params, u, p, t,
-                                                       u_prev=u_prev)
-                    return (u_new, p_new, u, t), m
+                    u, p, u_prev, phi, t = carry
+                    u_new, p_new, t, phi, m = self._step_fn(
+                        params, u, p, t, u_prev=u_prev, phi_prev=phi)
+                    return (u_new, p_new, u, phi, t), m
 
-                (u, p, up, t), ms = jax.lax.scan(
-                    body, (u, p, u_prev, t0), None, length=n_steps)
-                return u, p, up, t, ms
+                (u, p, up, phi, t), ms = jax.lax.scan(
+                    body, (u, p, u_prev, phi, t0), None, length=n_steps)
+                return u, p, up, phi, t, ms
 
-            self._chunks[n_steps] = jax.jit(run, donate_argnums=(1, 2, 3))
+            self._chunks[n_steps] = jax.jit(run,
+                                            donate_argnums=(1, 2, 3, 4))
         return self._chunks[n_steps]
 
     # ------------------------------------------------------------------
@@ -923,8 +939,8 @@ class NavierStokes:
         if not hasattr(self, "_u"):
             self._init_state(0)
         run = self._chunk_fn(1)
-        self._u, self._p, self._u_prev, t, ms = run(
-            self._params(), self._u, self._p, self._u_prev,
+        self._u, self._p, self._u_prev, self._phi, t, ms = run(
+            self._params(), self._u, self._p, self._u_prev, self._phi,
             jnp.asarray(self.time, self.dtype))
         self.time = float(t)
         m = jax.tree.map(lambda a: np.asarray(a)[0], ms)
@@ -944,20 +960,25 @@ class NavierStokes:
             self.time = 0.0
             self._u = jnp.zeros((sp.n_p2, self.dim), self.dtype)
             self._p = jnp.zeros(sp.n_p1, self.dtype)
-            # distinct buffer: u and u_prev are both donated to the chunk
+            # distinct buffers: u/u_prev and p/phi are each donated to the
+            # chunk separately
             self._u_prev = jnp.zeros((sp.n_p2, self.dim), self.dtype)
+            self._phi = jnp.zeros(sp.n_p1, self.dtype)
         else:
             from navierstokes_tpu.utils.checkpoint import checkpoint_path
             u, p, t = import_state(self.config.cache_dir, time_step)
             self.time = t
             self._u = jnp.asarray(u, self.dtype)
             self._p = jnp.asarray(p, self.dtype)
-            # u_prev restores the extrapolated-guess history (restart then
-            # reproduces the continuous run bit-for-bit)
+            # u_prev + phi restore the extrapolation/warm-start history
+            # (restart then reproduces the continuous run bit-for-bit)
             with np.load(checkpoint_path(self.config.cache_dir,
                                          time_step)) as z:
                 up = z["u_prev"] if "u_prev" in z.files else np.array(u)
+                phi = (z["phi"] if "phi" in z.files
+                       else np.zeros_like(np.asarray(p)))
             self._u_prev = jnp.asarray(np.array(up), self.dtype)
+            self._phi = jnp.asarray(np.array(phi), self.dtype)
             print(f"Continuing execution from time step {time_step}")
 
     def _measure_prec_init(self, params) -> float:
@@ -1010,8 +1031,8 @@ class NavierStokes:
             k = max(1, min(k_align, n_total - done, k_auto))
             run = self._chunk_fn(k)
             t0 = _walltime.perf_counter()
-            self._u, self._p, self._u_prev, t_dev, ms = run(
-                params, self._u, self._p, self._u_prev,
+            self._u, self._p, self._u_prev, self._phi, t_dev, ms = run(
+                params, self._u, self._p, self._u_prev, self._phi,
                 jnp.asarray(self.time, self.dtype))
             ms = jax.tree.map(np.asarray, ms)
             wall = _walltime.perf_counter() - t0
@@ -1066,7 +1087,8 @@ class NavierStokes:
 
     def export_data(self, time_step: int):
         export_state(self.config.cache_dir, time_step, self._u, self._p,
-                     self.time, extra=dict(u_prev=np.asarray(self._u_prev)))
+                     self.time, extra=dict(u_prev=np.asarray(self._u_prev),
+                                           phi=np.asarray(self._phi)))
 
     def import_data(self, time_step: int):
         self._init_state(time_step)

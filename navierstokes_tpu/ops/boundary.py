@@ -75,14 +75,17 @@ def build_dirichlet(space: TaylorHoodSpace, inlet: InletConfig,
 
     present = set(space.mesh.boundary_tags.tolist())
 
-    # pulsating profiles evaluate to 0 at t=0; get the base profile directly
+    # pulsating/ramped profiles evaluate to 0 at t=0; the base (spatial)
+    # profile is the t-modulation-free evaluation — the per-step factor
+    # (_time_factor) multiplies it back in
     def base_profile(pts):
-        saved = inlet.pulsating
+        saved = inlet.pulsating, inlet.ramp
         try:
             inlet.pulsating = False
+            inlet.ramp = 0.0
             return inlet.evaluate(pts, t=0.0)
         finally:
-            inlet.pulsating = saved
+            inlet.pulsating, inlet.ramp = saved
 
     if TAG_INLET in present:
         apply(TAG_INLET, base_profile)

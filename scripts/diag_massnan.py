@@ -35,10 +35,11 @@ ns._init_state(0)
 params = ns._params()
 run = ns._chunk_fn(1)
 
-u, p, up, t = ns._u, ns._p, ns._u_prev, jnp.asarray(0.0, ns.dtype)
-states = [(u, p, up, t)]
+u, p, up, phi, t = (ns._u, ns._p, ns._u_prev, ns._phi,
+                    jnp.asarray(0.0, ns.dtype))
+states = [(u, p, up, phi, t)]
 for k in range(8):
-    u, p, up, t, ms = run(params, u, p, up, t)
+    u, p, up, phi, t, ms = run(params, u, p, up, phi, t)
     stats = jax.jit(lambda u, p: (jnp.abs(u).max(), jnp.abs(p).max(),
                                   jnp.isfinite(u).all(),
                                   jnp.isfinite(p).all()))(u, p)
@@ -46,13 +47,13 @@ for k in range(8):
           f"res={float(ms.residual[0]):.2e} |u|max={float(stats[0]):.4g} "
           f"|p|max={float(stats[1]):.4g} finite={bool(stats[2])}/"
           f"{bool(stats[3])}", flush=True)
-    states.append((u, p, up, t))
+    states.append((u, p, up, phi, t))
     if not (bool(stats[2]) and bool(stats[3])):
         break
 
 # bisect inside the first bad step
 bad = len(states) - 1          # step index (1-based state list)
-u0, p0, up0, t0 = states[bad - 1]
+u0, p0, up0, phi0, t0 = states[bad - 1]
 print(f"\nbisecting step {bad} (t={float(t0):.3f}) ...", flush=True)
 
 cfgm = ns.config

@@ -106,12 +106,13 @@ def main():
         ns._init_state(0)
         params = ns._params()
         run = ns._chunk_fn(1)
-        u, p, up, t = ns._u, ns._p, ns._u_prev, jnp.asarray(0.0, ns.dtype)
+        u, p, up, phi, t = (ns._u, ns._p, ns._u_prev, ns._phi,
+                    jnp.asarray(0.0, ns.dtype))
         t0 = time.time()
         iters, res, walls = [], [], []
         for k in range(args.steps):
             t1 = time.time()
-            u, p, up, t, ms = run(params, u, p, up, t)
+            u, p, up, phi, t, ms = run(params, u, p, up, phi, t)
             it = int(ms.iterations[0])
             walls.append(time.time() - t1)
             iters.append(it)

@@ -123,17 +123,17 @@ def main():
     # one full outer iteration ~ apply_A + vmult
     # full step
     run = ns._chunk_fn(1)
-    uu, pp, up = ns._u, ns._p, ns._u_prev
+    uu, pp, up, ph = ns._u, ns._p, ns._u_prev, ns._phi
     t0 = time.perf_counter()
-    out = run(params, uu, pp, up, jnp.asarray(0.0, jnp.float32))
+    out = run(params, uu, pp, up, ph, jnp.asarray(0.0, jnp.float32))
     jax.block_until_ready(out)
     print(f"step 1 (compile+run): {time.perf_counter()-t0:.1f} s")
-    uu, pp, up, t, ms = out
+    uu, pp, up, ph, t, ms = out
     t0 = time.perf_counter()
-    out = run(params, uu, pp, up, t)
+    out = run(params, uu, pp, up, ph, t)
     jax.block_until_ready(out)
     wall = time.perf_counter() - t0
-    uu, pp, up, t, ms = out
+    uu, pp, up, ph, t, ms = out
     its = int(ms.iterations[0])
     print(f"step 2: {wall:.2f} s, {its} outer its -> "
           f"{wall/its*1e3:.1f} ms/outer-iteration")

@@ -144,3 +144,25 @@ def test_vector_valued_inlet_profile(tmp_path):
     np.testing.assert_allclose(u[interior],
                                profile(ns.space.p2_coords[interior], 0.0),
                                atol=1e-12)
+
+
+def test_inlet_ramp_time_factor():
+    """Raised-cosine start-up ramp: 0 at t=0, 1 from t=ramp on, C1, and
+    composes with the pulsation factor."""
+    import math
+
+    inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41, ramp=0.2)
+    assert inlet.time_factor(0.0) == 0.0
+    assert abs(inlet.time_factor(0.1) - 0.5) < 1e-12
+    assert inlet.time_factor(0.2) == 1.0
+    assert inlet.time_factor(5.0) == 1.0
+    # monotone on the ramp
+    ts = np.linspace(0, 0.2, 21)
+    fs = [inlet.time_factor(t) for t in ts]
+    assert all(b >= a for a, b in zip(fs, fs[1:]))
+
+    puls = InletConfig(kind="parabolic", u_m=1.5, height=0.41,
+                       pulsating=True, period=8.0, ramp=0.2)
+    t = 0.1
+    assert abs(puls.time_factor(t)
+               - math.sin(math.pi * t / 8.0) * 0.5) < 1e-12
