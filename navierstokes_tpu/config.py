@@ -253,8 +253,10 @@ class SolverConfig:
     # this many column-block slots spill the excess into virtual rows,
     # trimming ELL padding from every matvec's gather + value streams
     # (K_max 16 vs mean 9.5 on the 1M-DoF 2D graph -> ~30% less traffic).
-    # 0 disables; -1 picks the row-count 90th percentile at build time.
-    bsr_f_kmax: int = 0
+    # 0 disables; -1 picks the row-count 90th percentile at build time
+    # (default; chip-validated at the 1M-DoF bench point: stable, ~6%
+    # faster end-to-end, identical physics).
+    bsr_f_kmax: int = -1
     # Two-level Schur solve (solvers/schur.py): pressure BSR blocks per
     # aggregate (coarse size = n_p1 / (bp * this)), V-cycle count and
     # Chebyshev smoothing steps per cycle.

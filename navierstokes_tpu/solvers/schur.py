@@ -6,8 +6,8 @@ have no TPU mapping, and plain Jacobi degrades like O(1/h) on the
 Laplacian-like S = B D^-1 B^T — at ~100k pressure DoFs the inner solve
 never reaches its 1e-2 tolerance and the outer Krylov stalls.
 
-TPU-native replacement: a two-level method exploiting the Morton node
-ordering (fem/spaces.py):
+TPU-native replacement: a two-level method exploiting the space-filling-
+curve node ordering (Hilbert; fem/spaces.py):
 
   * aggregates = contiguous runs of ``agg`` pressure nodes (compact spatial
     patches, because the numbering follows a space-filling curve).

@@ -27,7 +27,7 @@ def log(*a):
 
 
 def main():
-    dts = [float(x) for x in sys.argv[1:]] or [0.005, 0.0025, 0.00125]
+    dts = [float(x) for x in sys.argv[1:]] or [0.0025, 0.00125, 0.000625]
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -44,7 +44,11 @@ def main():
                              ".bench_mesh.npz"))
     mesh = Mesh(2, z["points"], z["cells"], z["bfaces"], z["btags"])
     inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41)
-    cfg = SolverConfig(dtype="float32", output_dir="/tmp/exp_out",
+    # ST-true 2D-2 physics (nu=1e-3 -> Re=100 shedding), the configuration
+    # the validated-physics bench point will run
+    cfg = SolverConfig(dtype="float32", nu=1.0e-3, ref_length=0.1,
+                       force_formula="st",
+                       output_dir="/tmp/exp_out",
                        cache_dir="/tmp/exp_cache",
                        csv_path="/tmp/exp_forces.csv",
                        scheme="projection", proj_bdf2=True)
