@@ -204,11 +204,6 @@ class SolverConfig:
     # 16 -> 256-node tiles: measured 25% faster overall than 8 at the
     # 1M-DoF bench point (stronger preconditioner, fewer BiCGStab its).
     bj_tile_blocks: int = 16
-    # Planar (lane-major) F-matvec layout (ops/bsr.py apply_f_planar).
-    # MEASURED 3x SLOWER end-to-end on v5e at 1M DoF (the per-matvec
-    # operand transposes dominate); kept as an option for future Mosaic
-    # versions / a Pallas kernel that fuses the transpose.
-    planar_f: bool = False
     # Read the F-block values in bfloat16 inside the PRECONDITIONER's inner
     # solves (vectors and accumulation stay fp32).  Measured neutral-to-
     # slightly-slower on v5e (the blocked matvec is compute-lowering-bound,

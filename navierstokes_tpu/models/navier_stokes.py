@@ -197,16 +197,16 @@ class NavierStokes:
             self.shard_mesh = device_mesh(n_dev) if n_dev > 1 else None
             self._operator = "bsr"
             blk = cfg.bsr_block or None
-            # 128 = planar-tile multiple (ops/bsr.py PLANAR_T); lcm with
-            # the device count keeps GSPMD device_put sharding even
-            from navierstokes_tpu.ops.bsr import PLANAR_T
+            # 128-row multiple keeps the block-row count VREG-lane aligned;
+            # lcm with the device count keeps GSPMD device_put sharding even
+            ROW_MULT = 128
             # static_device=False: M/K blocks stay host-side; only the
             # combined A0 is uploaded (_build_static) and the per-step
             # M u^n uses the compact node-ELL mass — halves the resident
             # F-family HBM (decisive for 3D fit)
             self.ell = build_bsr(sp, cells_host, dtype=self.dtype,
                                  bu=blk, bp=blk,
-                                 row_multiple=int(np.lcm(PLANAR_T, n_dev)),
+                                 row_multiple=int(np.lcm(ROW_MULT, n_dev)),
                                  static_device=False,
                                  f_kmax=cfg.bsr_f_kmax)
             # Once-per-step consistent-mass product: the node-ELL form is
@@ -312,7 +312,8 @@ class NavierStokes:
             # per-cell convection inputs + slot scatter
             cell_p2=put(e.cell_p2), cell_p1=put(e.cell_p1),
             detj=put(e.detj), jinv=put(e.jinv),
-            conv_slot_scatter=put_tree(e.conv_slot_scatter),
+            con_row=put(e.con_row), con_cpos=put(e.con_cpos),
+            con_seg=put(e.con_seg),
             pp_slot_scatter=put_tree(e.pp_slot_scatter),
             # block graphs + static values, sharded by block row
             f_cols=put(e.f_cols),
@@ -672,20 +673,8 @@ class NavierStokes:
         d_bc = d * mflat + sigma * (1.0 - mflat)
         dinv = (1.0 / d_bc)[:, None]
 
-        # planar (lane-major) F values: one relayout per step makes every
-        # F matvec of the solve run at full VPU lane width (ops/bsr.py
-        # planar_relayout) — measured ~2x the matvec throughput on v5e
-        f_planar = None
-        if self._operator == "bsr" and cfg.planar_f:
-            from navierstokes_tpu.ops.bsr import (PLANAR_T, apply_f_planar,
-                                                  planar_relayout)
-            if params.cells.f_cols.shape[0] % PLANAR_T == 0:
-                f_planar = planar_relayout(f_cell)
-
         # ---- BC-masked block operators ----
         def raw_F(xu):
-            if f_planar is not None:
-                return apply_f_planar(params.cells, f_planar, xu)
             yu, _ = ops.apply_blocks(params, f_cell, xu, zero_p,
                                      with_g=False, with_gt=False)
             return yu
@@ -693,11 +682,7 @@ class NavierStokes:
         def apply_A(x):
             xu, xp = x
             xum = xu * mask
-            if f_planar is not None:
-                yu = raw_F(xum) + apply_Bt_raw(xp)
-                yp = apply_B(xu)
-            else:
-                yu, yp = ops.apply_blocks(params, f_cell, xum, xp)
+            yu, yp = ops.apply_blocks(params, f_cell, xum, xp)
             yu = yu * mask + sigma * (xu - xum)
             return yu, yp
 
@@ -707,16 +692,11 @@ class NavierStokes:
         # (matrix bf16, vectors fp32 -> fp32 accumulation via promotion)
         use_bf16 = (cfg.inner_bf16 and self.dtype == jnp.dtype(jnp.float32))
         f_inner = f_cell.astype(jnp.bfloat16) if use_bf16 else f_cell
-        f_planar_in = (f_planar.astype(jnp.bfloat16)
-                       if use_bf16 and f_planar is not None else f_planar)
 
         def apply_F(xu):
             xum = xu * mask
-            if f_planar_in is not None:
-                yu = apply_f_planar(params.cells, f_planar_in, xum)
-            else:
-                yu, _ = ops.apply_blocks(params, f_inner, xum, zero_p,
-                                         with_g=False, with_gt=False)
+            yu, _ = ops.apply_blocks(params, f_inner, xum, zero_p,
+                                     with_g=False, with_gt=False)
             return (yu * mask + sigma * (xu - xum)).astype(self.dtype)
 
         def apply_Bt_raw(xp):

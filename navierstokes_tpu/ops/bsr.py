@@ -45,7 +45,21 @@ class BsrData:
     detj: jax.Array
     jinv: jax.Array
     t_hat: jax.Array
-    conv_slot_scatter: Scatter   # (nc*n_v*n_v,) -> flat F slots
+    # row-blocked convection-assembly plan: one entry per
+    # (cell, local row node a, extended block row) contribution, sorted by
+    # destination FLAT ROW id (v*bu + i).  Each contribution gathers the
+    # a-th row of the cell's element matrix (n_v values) and expands it
+    # into one C-wide row of the flat row-major F layout via a one-hot
+    # column-placement compare, then a presorted segment-sum of C-wide
+    # rows reduces them — every minor axis is the C(=128)-lane axis.
+    # Replaces the scalar take+segment_sum (8M 4-byte rows, measured
+    # 149 ms/step at 1M DoF); a (cell, block-pair)x(bu,bu) variant OOM'd
+    # from XLA's 8x tile padding of (n,16,16) batches, and a 36-wide
+    # whole-element variant spent 31 ms in the placement product.
+    con_row: jax.Array           # (ncon,) int32 source row = cell*n_v + a
+    con_cpos: jax.Array          # (ncon, n_v) int8/int32 dest column
+    #                              in [0,C), or -1 (dead / other row)
+    con_seg: jax.Array           # (ncon,) int32 dest flat row, ascending
     # F block graph (velocity-velocity, scalar per component).  With the
     # overflow split (build_bsr f_kmax) the table has n_vb physical block
     # rows followed by virtual rows holding the spill slots of high-degree
@@ -56,16 +70,25 @@ class BsrData:
     f_cols: jax.Array            # (n_vb_ext, K) int32 block columns
     ovf_rows: object             # None | (n_vb_ext - n_vb,) int32
     diag_idx: jax.Array          # (n_p2,) int32 flat index of diagonal
-    m_blk: object                # (n_vb, KB, bu, bu) static mass, or None
-    k_blk: object                # (n_vb, KB, bu, bu) static stiffness/None
+    # F-family values use the FLAT ROW-MAJOR layout (n_vb_ext, bu, K*bu):
+    # slot (v, k, i, j) lives at [v, i, k*bu + j].  With K*bu a multiple of
+    # 128 the multiply-reduce in apply_f runs with the 128-lane axis fully
+    # utilized (the (v,K,bu,bu) layout put the dim-2 vector axis minor ->
+    # 2/128 lanes, measured 6.6 ms vs ~1.7 ms at 1M DoF) and the array is
+    # stored without HBM tile padding — which also removes the 8x lane
+    # padding that capped 3D at ~500k DoF (VALIDATION.md round 2).
+    m_blk: object                # (n_vb_ext, bu, K*bu) static mass, or None
+    k_blk: object                # (n_vb_ext, bu, K*bu) static stiffness/None
     # (None when the model keeps the static blocks host-side and uploads
     # only the combined A0 — halves resident F-family HBM; see
     # models/navier_stokes._build_static)
     # pressure coupling (static)
+    # G/B use the same flat row-major idea as F: per-component panels with
+    # the (slot, within-block-col) axes folded into the 128-multiple minor
     g_cols: jax.Array            # (n_vb, KG) int32 pressure-block columns
-    g_blk: jax.Array             # (n_vb, KG, dim, bu, bp)
+    g_blk: jax.Array             # (n_vb, dim, bu, KG*bp)
     b_cols: jax.Array            # (n_pb, KBb) int32 velocity-block columns
-    b_blk: jax.Array             # (n_pb, KBb, dim, bp, bu)
+    b_blk: jax.Array             # (n_pb, bp, KBb*bu*dim), inner (k, j, d)
     # pressure-pressure graph (for the PCD convection operator)
     pp_cols: jax.Array           # (n_pb, KPP) int32 pressure-block columns
     pp_slot_scatter: Scatter     # (nc*n_p*n_p,) -> flat PP slots
@@ -151,10 +174,22 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
 
     # Overflow split: slots kn >= K0 spill to virtual block rows (one per
     # (row, chunk-of-K0) with spill), appended after the physical rows.
-    if f_kmax == -1:      # auto: 90th percentile of row slot counts
+    if f_kmax == -1:
+        # auto: K0 must keep the flat row-major minor axis K0*bu a
+        # multiple of the 128-lane tile (no HBM padding, full-lane
+        # reduce); among those candidates pick minimal total storage
+        # n_ext(K0) * K0.
         counts = np.bincount(pr_row, minlength=n_vb)
-        f_kmax = int(np.percentile(counts[counts > 0], 90))
-    K0 = f_kmax if 0 < f_kmax < KB else KB
+        step_k = max(1, 128 // bu)
+        cands = list(range(step_k, KB + step_k, step_k))
+        def _cost(k0):
+            spill = np.maximum(counts - k0, 0)
+            n_virt = int(np.ceil(spill / k0).sum())
+            return (n_vb + n_virt) * k0
+        f_kmax = min(cands, key=_cost)
+    # f_kmax > KB means "pad K up" (lane alignment without a split):
+    # the extra slots are ordinary zero-valued ELL padding.
+    K0 = f_kmax if f_kmax > 0 else KB
     over = kn >= K0
     ovf_rows_host = np.zeros(0, np.int64)
     if over.any():
@@ -175,26 +210,50 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
     f_cols = np.zeros((n_vb_ext, K0), dtype=np.int64)
     f_cols[vrow_pair, kext_pair] = pc
 
-    # per element-matrix entry: flat slot in the extended value array
+    # per element-matrix entry: flat slot in the extended value array,
+    # flat row-major layout (v, i, k*bu + j)
     want = (rows // bu).astype(np.int64) * stride + (cols // bu)
     pos = np.searchsorted(pair_keys, want)
-    slot = ((vrow_pair[pos] * K0 + kext_pair[pos]) * bu
-            + rows % bu) * bu + (cols % bu)
+    slot = ((vrow_pair[pos] * bu + rows % bu) * K0
+            + kext_pair[pos]) * bu + (cols % bu)
 
     n_slots = n_vb_ext * K0 * bu * bu
-    slot_all = slot.astype(np.int64)
-    if nc_pad:
-        # padding cells scatter their (zero) contributions into the last
-        # slot, which belongs to a padding/virtual block row whose value
-        # never reaches a physical row with nonzero weight
-        slot_all = np.concatenate(
-            [slot_all, np.full(nc_pad * nv * nv, n_slots - 1, np.int64)])
-    conv_plan = build_scatter(slot_all.reshape(-1, 1), n_slots)
+
+    # ---- row-blocked convection-assembly plan ----------------------------
+    # one contribution per unique (cell, local row node, extended block
+    # row); see BsrData.con_* docs
+    Cw = K0 * bu
+    e_cell = np.repeat(np.arange(nc, dtype=np.int64), nv * nv)
+    e_a = np.tile(np.repeat(np.arange(nv, dtype=np.int64), nv), nc)
+    e_b = np.tile(np.arange(nv, dtype=np.int64), nc * nv)
+    e_v = vrow_pair[pos]
+    e_q = kext_pair[pos] * bu + (cols % bu)
+    e_fr = e_v * bu + (rows % bu)
+    ckey = (e_cell * nv + e_a) * np.int64(n_vb_ext) + e_v
+    uniq_ck, idx0, inv_ck = np.unique(ckey, return_index=True,
+                                      return_inverse=True)
+    con_fr = e_fr[idx0]
+    con_row = (e_cell * nv + e_a)[idx0]
+    corder = np.argsort(con_fr, kind="stable")
+    rank = np.empty(len(uniq_ck), np.int64)
+    rank[corder] = np.arange(len(uniq_ck))
+    con_fr, con_row = con_fr[corder], con_row[corder]
+    con_cpos = np.full((len(uniq_ck), nv), -1, np.int64)
+    con_cpos[rank[inv_ck], e_b] = e_q
+    ncon = rup(len(con_row))
+    if ncon > len(con_row):
+        padn = ncon - len(con_row)
+        con_row = np.concatenate([con_row, np.zeros(padn, np.int64)])
+        con_cpos = np.concatenate(
+            [con_cpos, np.full((padn, nv), -1, np.int64)])
+        con_fr = np.concatenate(
+            [con_fr, np.full(padn, n_vb_ext * bu - 1, np.int64)])
+    cpos_dtype = np.int8 if Cw <= 128 else np.int32
 
     def reduce_blk(elem_vals):
         out = np.zeros(n_slots)
         np.add.at(out, slot, elem_vals.reshape(-1))
-        return out.reshape(n_vb_ext, K0, bu, bu)
+        return out.reshape(n_vb_ext, bu, K0 * bu)
 
     m_blk = reduce_blk(np.asarray(cells.mass, np.float64))
     k_blk = reduce_blk(np.asarray(cells.stiff, np.float64))
@@ -206,8 +265,8 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
     want_d = Iall * stride + Iall
     pos_d = np.searchsorted(pair_keys, want_d)
     # diagonal block must exist (every node couples to itself)
-    diag_idx = ((vrow_pair[pos_d] * K0 + kext_pair[pos_d]) * bu
-                + i_all % bu) * bu + (i_all % bu)
+    diag_idx = ((vrow_pair[pos_d] * bu + i_all % bu) * K0
+                + kext_pair[pos_d]) * bu + (i_all % bu)
 
     # ---- G (u rows, p cols), static ----------------------------------------
     grad = np.asarray(cells.grad, np.float64)            # (nc, nv, dim, npp)
@@ -219,14 +278,14 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
     gpos = np.searchsorted(gkeys, gwant)
     gkb = gk_of[gpos]
     GI = g_rows // bu
-    # slot layout: (n_vb, KG, dim, bu, bp)
-    base = ((GI * KG + gkb) * dim)
+    # slot layout: (n_vb, dim, bu, KG*bp) — flat row-major per component
     g_vals = np.zeros(n_vb * KG * dim * bu * bp)
     vals = grad.transpose(0, 1, 3, 2).reshape(-1, dim)   # (nc*nv*npp, dim)
     for d in range(dim):
-        gslot = ((base + d) * bu + g_rows % bu) * bp + (g_cols_flat % bp)
+        gslot = (((GI * dim + d) * bu + g_rows % bu) * KG + gkb) * bp \
+                + (g_cols_flat % bp)
         np.add.at(g_vals, gslot, vals[:, d])
-    g_blk = g_vals.reshape(n_vb, KG, dim, bu, bp)
+    g_blk = g_vals.reshape(n_vb, dim, bu, KG * bp)
 
     # ---- B (p rows, u cols), static ----------------------------------------
     b_rows = np.repeat(cp1, nv, axis=1).reshape(-1)
@@ -237,13 +296,15 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
     bpos = np.searchsorted(bkeys, bwant)
     bkb = bk_of[bpos]
     BI = b_rows // bp
+    # slot layout: (n_pb, bp, KBb*bu*dim) with inner (k, j, d) — matches
+    # the natural (k, j, d) order of the gathered velocity blocks
     b_vals = np.zeros(n_pb * KBb * dim * bp * bu)
     bsrc = grad.transpose(0, 3, 1, 2).reshape(-1, dim)   # (nc*npp*nv, dim)
     for d in range(dim):
-        bslot = (((BI * KBb + bkb) * dim + d) * bp + b_rows % bp) * bu \
-                + (b_cols_flat % bu)
+        bslot = ((((BI * bp + b_rows % bp) * KBb + bkb) * bu
+                  + b_cols_flat % bu) * dim) + d
         np.add.at(b_vals, bslot, bsrc[:, d])
-    b_blk = b_vals.reshape(n_pb, KBb, dim, bp, bu)
+    b_blk = b_vals.reshape(n_pb, bp, KBb * bu * dim)
 
     # ---- P1-P1 pressure graph (PCD convection), per-step values ----------
     p_rows = np.repeat(cp1, npp, axis=1).reshape(-1)
@@ -276,7 +337,9 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
         detj=f(pad_cells(cells.detj, nc_pad)),
         jinv=f(pad_cells(cells.jinv, nc_pad)),
         t_hat=f(space.rs.T_hat),
-        conv_slot_scatter=conv_plan,
+        con_row=jnp.asarray(con_row.astype(np.int32)),
+        con_cpos=jnp.asarray(con_cpos.astype(cpos_dtype)),
+        con_seg=jnp.asarray(con_fr.astype(np.int32)),
         f_cols=jnp.asarray(f_cols.astype(np.int32)),
         ovf_rows=(jnp.asarray(ovf_rows_host.astype(np.int32))
                   if n_or else None),
@@ -335,90 +398,64 @@ def _pblocks(bsr: BsrData, p):
 
 
 def apply_f(bsr: BsrData, f_blk, xu):
-    """F matvec as broadcast-multiply-reduce.
+    """F matvec with flat row-major values: full-lane VPU multiply-reduce.
 
+    f_blk: (n_vb_ext, bu, C) with C = K*bu (a multiple of 128 when
+    build_bsr's auto f_kmax is used).  The reduce's minor axis is C, so
+    the VPU streams the values at full 128-lane width; the velocity
+    components live on the (tiny) broadcast axis instead of the lanes.
     XLA lowers the naive block einsum as a huge batch of (bu,bu)x(bu,dim)
-    matmuls, padding the dim axis to the 128-lane MXU width — measured 64x
-    waste (scripts/exp_matvec.py: 13.6 ms einsum vs 7.3 ms mult-reduce at
-    1M DoF).  The explicit multiply + reduce keeps it on the VPU at memory
-    bandwidth."""
+    MXU matmuls, padding dim->128 (64x waste); earlier layouts that kept
+    dim or bu minor measured 6.6 ms/matvec at 1M DoF vs ~2 ms for this
+    one (scripts/profile_bench.py, scripts/exp_flatmv*.py)."""
+    n_ext, bu, C = f_blk.shape
+    d = xu.shape[1]
     xb = _ublocks(bsr, xu)
-    xg = jnp.take(xb, bsr.f_cols, axis=0, mode="clip")               # (n_vb_ext, KB, bu, dim)
-    if f_blk.dtype == jnp.bfloat16:
-        # mixed precision: bf16 value reads (the dominant HBM traffic),
-        # fp32 accumulation
-        prod = (f_blk[..., None] * xg.astype(jnp.bfloat16)[:, :, None])
-        y = prod.astype(jnp.float32).sum(axis=(1, 3))
-    else:
-        y = (f_blk[..., None] * xg[:, :, None]).sum(axis=(1, 3))
-    y = _fold_overflow(bsr, y)
-    return y.reshape(-1, xu.shape[1])[:bsr.n_p2].astype(xu.dtype)
-
-
-PLANAR_T = 128  # block rows per planar tile (= VREG lane count)
-
-
-def planar_relayout(f_blk):
-    """(n_vb, K, bu, bu) -> (n_t, K, bu, bu, T) with the block-row tile
-    batch on the MINOR axis.
-
-    Rationale (profiled on v5e at 1M DoF): every elementwise op whose
-    minor axis is the dim-2 velocity component runs at 2/128 VPU-lane
-    utilization.  With the 128-row tile batch minor, the multiply-reduce
-    streams the F values at full lane width.  One relayout per TIME STEP
-    (~461 MB) is amortized over the ~10^3 matvecs of that step's solve."""
-    n_vb, K, bu, _ = f_blk.shape
-    n_t = n_vb // PLANAR_T
-    return f_blk.reshape(n_t, PLANAR_T, K, bu, bu).transpose(0, 2, 3, 4, 1)
-
-
-def apply_f_planar(bsr: BsrData, f_planar, xu):
-    """F matvec with planar (lane-major) values: full-lane VPU reduce.
-
-    f_planar: (n_t, K, bu, bu, T) from planar_relayout (fp32 or bf16).
-    Requires n_vb % PLANAR_T == 0 (build_bsr row_multiple)."""
-    n_t = f_planar.shape[0]
-    K = f_planar.shape[1]
-    xb = _ublocks(bsr, xu)                              # (n_vb, bu, d)
-    xg = jnp.take(xb, bsr.f_cols, axis=0, mode="clip")  # (n_vb, K, bu, d)
-    d = xg.shape[-1]
-    xg = xg.reshape(n_t, PLANAR_T, K, bsr.bu, d).transpose(0, 2, 3, 4, 1)
-    if f_planar.dtype == jnp.bfloat16:
-        prod = (f_planar[:, :, :, :, None, :]
-                * xg.astype(jnp.bfloat16)[:, :, None, :, :, :])
-        y = prod.astype(jnp.float32).sum(axis=(1, 3))   # (n_t, bu, d, T)
-    else:
-        y = (f_planar[:, :, :, :, None, :]
-             * xg[:, :, None, :, :, :]).sum(axis=(1, 3))
-    y = y.transpose(0, 3, 1, 2).reshape(-1, bsr.bu, d)  # (n_vb_ext, bu, d)
+    ys = []
+    for dd in range(d):
+        # per-component gather (A/B'd against one (…, bu, d) gather +
+        # minor transpose, per-component strided slices, and an MXU
+        # batched dot: 5.2 / 7.1 / 7.6 / 5.6 ms at 1M DoF)
+        xg = jnp.take(xb[..., dd], bsr.f_cols, axis=0,
+                      mode="clip").reshape(n_ext, C)
+        if f_blk.dtype == jnp.bfloat16:
+            # mixed precision: bf16 value reads (the dominant HBM
+            # traffic), fp32 accumulation
+            prod = f_blk * xg.astype(jnp.bfloat16)[:, None, :]
+            ys.append(prod.astype(jnp.float32).sum(-1))
+        else:
+            ys.append((f_blk * xg[:, None, :]).sum(-1)) # (n_vb_ext, bu)
+    y = jnp.stack(ys, axis=-1)                          # (n_vb_ext, bu, d)
     y = _fold_overflow(bsr, y)
     return y.reshape(-1, d)[:bsr.n_p2].astype(xu.dtype)
 
 
 def apply_bt(bsr: BsrData, p):
     pb = _pblocks(bsr, p)
-    pg = jnp.take(pb, bsr.g_cols, axis=0, mode="clip")               # (n_vb, KG, bp)
-    g = bsr.g_blk                                       # (n_vb,KG,dim,bu,bp)
+    n_vb = bsr.g_cols.shape[0]
+    pg = jnp.take(pb, bsr.g_cols, axis=0, mode="clip").reshape(n_vb, -1)
+    g = bsr.g_blk                                       # (n_vb,dim,bu,KG*bp)
     if g.dtype == jnp.bfloat16:
-        prod = g * pg.astype(jnp.bfloat16)[:, :, None, None, :]
-        y = prod.astype(jnp.float32).sum(axis=(1, 4))   # (n_vb, dim, bu)
+        prod = g * pg.astype(jnp.bfloat16)[:, None, None, :]
+        y = prod.astype(jnp.float32).sum(-1)            # (n_vb, dim, bu)
         y = y.astype(p.dtype)
     else:
-        y = (g * pg[:, :, None, None, :]).sum(axis=(1, 4))
+        y = (g * pg[:, None, None, :]).sum(-1)
     y = jnp.swapaxes(y, 1, 2)                           # (n_vb, bu, dim)
     return y.reshape(-1, y.shape[2])[:bsr.n_p2]
 
 
 def apply_b(bsr: BsrData, xu):
     ub = _ublocks(bsr, xu)
-    ug = jnp.take(ub, bsr.b_cols, axis=0, mode="clip")               # (n_pb, KBb, bu, dim)
-    b = bsr.b_blk                                       # (n_pb,KBb,dim,bp,bu)
-    ugt = jnp.swapaxes(ug, 2, 3)                        # (n_pb, KBb, dim, bu)
+    n_pb = bsr.b_cols.shape[0]
+    # natural gathered order (k, j, d) matches the stored inner order
+    ug = jnp.take(ub, bsr.b_cols, axis=0, mode="clip").reshape(n_pb, -1)
+    b = bsr.b_blk                                       # (n_pb,bp,KBb*bu*dim)
     if b.dtype == jnp.bfloat16:
-        prod = b * ugt.astype(jnp.bfloat16)[:, :, :, None, :]
-        z = prod.astype(jnp.float32).sum(axis=(1, 2, 4)).astype(xu.dtype)
+        prod = b * ug.astype(jnp.bfloat16)[:, None, :]
+        z = prod.astype(jnp.float32).sum(-1).astype(xu.dtype)
     else:
-        z = (b * ugt[:, :, :, None, :]).sum(axis=(1, 2, 4))  # (n_pb, bp)
+        z = (b * ug[:, None, :]).sum(-1)                # (n_pb, bp)
     return z.reshape(-1)[:bsr.n_p1]
 
 
@@ -434,9 +471,22 @@ def mass_apply(bsr: BsrData, u):
 
 def schur_diag(bsr: BsrData, node_weights):
     wb = _ublocks(bsr, node_weights[:, None])[..., 0]   # (n_vb, bu)
-    wg = jnp.take(wb, bsr.b_cols, axis=0, mode="clip")               # (n_pb, KBb, bu)
-    z = jnp.einsum("nkdab,nkdab,nkb->na", bsr.b_blk, bsr.b_blk, wg)
+    n_pb = bsr.b_cols.shape[0]
+    wg = jnp.take(wb, bsr.b_cols, axis=0, mode="clip")  # (n_pb, KBb, bu)
+    dim = bsr.b_blk.shape[2] // (bsr.b_cols.shape[1] * bsr.bu)
+    wgf = jnp.broadcast_to(wg[..., None],
+                           wg.shape + (dim,)).reshape(n_pb, -1)
+    z = (bsr.b_blk * bsr.b_blk * wgf[:, None, :]).sum(-1)
     return z.reshape(-1)[:bsr.n_p1]
+
+
+def g_blocks(bsr: BsrData):
+    """View the flat G values as (n_vb, KG, dim, bu, bp) blocks
+    (setup-time consumers only — the apply path reads the flat form)."""
+    n_vb, KG = bsr.g_cols.shape
+    dim = bsr.g_blk.shape[1]
+    return bsr.g_blk.reshape(n_vb, dim, bsr.bu, KG, bsr.bp).transpose(
+        0, 3, 1, 2, 4)
 
 
 def pressure_convection_blk(bsr: BsrData, u):
@@ -464,10 +514,30 @@ def apply_pp(bsr: BsrData, pp_blk, xp):
 
 
 def convection_blk(bsr: BsrData, u):
-    c_elem = convection_matrices(bsr, bsr.t_hat, u)     # duck-typed view
-    vals = bsr.conv_slot_scatter(c_elem.reshape(-1, 1))
-    n_vb, KB = bsr.f_cols.shape
-    return vals.reshape(n_vb, KB, bsr.bu, bsr.bu)
+    """Per-step convection assembly into the flat row-major F layout.
+
+    Each (cell, block-pair) contribution places its element matrix rows
+    and columns into a dense (bu, bu) block via two one-hot batched
+    matmuls (MXU), then a presorted segment-sum over (bu*bu)-wide rows
+    reduces contributions per pair.  The element matrices themselves are
+    the reference's T1 convection integrand (src/NavierStokes.cpp:204-208)
+    rebuilt every time step, like the reference's per-step reassembly
+    (src/NavierStokes.cpp:154-294) but without touching the static part."""
+    c_elem = convection_matrices(bsr, bsr.t_hat, u)     # (nc, nv, nv)
+    bu = bsr.bu
+    dt_ = c_elem.dtype
+    nc, nv, _ = c_elem.shape
+    n_vb_ext, K0 = bsr.f_cols.shape
+    Cw = K0 * bu
+    c6 = c_elem.reshape(nc * nv, nv)
+    ce = jnp.take(c6, bsr.con_row, axis=0, mode="clip")        # (ncon, nv)
+    io = jnp.arange(Cw, dtype=jnp.int32)
+    W = (bsr.con_cpos[:, :, None].astype(jnp.int32) == io)     # (ncon,nv,C)
+    rows = (ce[:, :, None] * W.astype(dt_)).sum(1)             # (ncon, C)
+    vals = jax.ops.segment_sum(rows, bsr.con_seg,
+                               num_segments=n_vb_ext * bu,
+                               indices_are_sorted=True)
+    return vals.reshape(n_vb_ext, bu, Cw)
 
 
 class BsrOps:

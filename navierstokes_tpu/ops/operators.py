@@ -60,10 +60,18 @@ def convection_matrices(cells: CellArrays, t_hat: jax.Array,
     (src/NavierStokes.cpp:204-208), evaluated as a contraction of the fixed
     reference tensor T_hat[a,b,x,e] with per-cell J^-1 u values.
     """
+    nv = cells.cell_p2.shape[1]
     u_c = jnp.take(u, cells.cell_p2, axis=0, mode="clip")          # (nc, n_v, dim)
     w = jnp.einsum("cxd,ced->cxe", cells.jinv, u_c)   # (nc, dim, n_v)
     w = w * cells.detj[:, None, None]
-    return jnp.einsum("abxe,cxe->cab", t_hat, w)
+    # one flat (nc, dim*n_v) x (dim*n_v, n_v*n_v) dot instead of the
+    # 4-way einsum: avoids tiny-minor intermediates that XLA tile-pads
+    dim = w.shape[1]
+    tm = t_hat.transpose(2, 3, 0, 1).reshape(dim * nv, nv * nv)
+    c = jax.lax.dot_general(w.reshape(-1, dim * nv), tm,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=w.dtype)
+    return c.reshape(-1, nv, nv)
 
 
 def apply_blocks(cells: CellArrays, f_cell: jax.Array,

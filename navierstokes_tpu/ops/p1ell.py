@@ -245,12 +245,15 @@ def build_block_jacobi_plan(bsr, S: int = 8) -> BlockJacobiPlan:
 def block_jacobi_inverse(plan: BlockJacobiPlan, f_blk, mask_flat, sigma):
     """Per-step: gather tile diagonals of the BC-masked F and invert.
 
-    f_blk: (n_vb, KB, bu, bu); mask_flat: (n_p2,) 1=interior 0=Dirichlet.
+    f_blk: flat row-major (n_vb_ext, bu, KB*bu) — see ops/bsr.BsrData;
+    mask_flat: (n_p2,) 1=interior 0=Dirichlet.
     The masked operator is  M F M + sigma (I - M); tiles are built
     accordingly so the inverse is exact on constrained rows."""
-    n_vb, KB, bu, _ = f_blk.shape
+    n_vb, bu, C = f_blk.shape
+    KB = C // bu
+    blocks = f_blk.reshape(n_vb, bu, KB, bu).transpose(0, 2, 1, 3)
     flat = jnp.concatenate(
-        [f_blk.reshape(n_vb * KB, bu, bu),
+        [blocks.reshape(n_vb * KB, bu, bu),
          jnp.zeros((1, bu, bu), f_blk.dtype)], axis=0)
     tiles = jnp.take(flat, plan.idx, axis=0, mode="clip")      # (n_tiles, S, S, bu, bu)
     n = plan.n_tiles * plan.S * bu

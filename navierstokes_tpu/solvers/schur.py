@@ -71,9 +71,10 @@ def coarse_matrix(bsr: BsrData, plan: CoarsePlan,
     n_vb = bsr.g_cols.shape[0]
     pad = n_vb * bsr.bu - bsr.n_p2
     d_blk = jnp.pad(dinv_masked, (0, pad)).reshape(n_vb, bsr.bu)
-    # W[n,k,d,a] = sum_b g_blk[n,k,d,a,b]  (aggregate sum over the block's
+    # W[n,k,d,a] = sum_b g[n,k,d,a,b]  (aggregate sum over the block's
     # pressure nodes; aggregates always contain whole blocks)
-    w = jnp.sum(bsr.g_blk, axis=4)                    # (n_vb, KG, dim, bu)
+    from navierstokes_tpu.ops.bsr import g_blocks
+    w = jnp.sum(g_blocks(bsr), axis=4)                # (n_vb, KG, dim, bu)
     # pair contraction: val[n,k1,k2] = sum_{d,a} w[n,k1,d,a] d[n,a] w[n,k2,d,a]
     vals = jnp.einsum("nkda,na,nlda->nkl", w, d_blk, w)
     sc = plan.pair_scatter(vals.reshape(-1, 1))

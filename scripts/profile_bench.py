@@ -70,21 +70,24 @@ def main():
     p = jnp.asarray(np.random.default_rng(1).standard_normal(
         bsr.n_p1), jnp.float32)
 
-    conv = jax.jit(lambda uu: B.convection_blk(bsr, uu))
-    f_blk = conv(u)
+    # pass bsr as a jit ARGUMENT: closing over it embeds the 300-500 MB
+    # static blocks as constants in the compile request, which overflows
+    # the tunneled remote-compile body limit (HTTP 413)
+    conv = jax.jit(lambda e, uu: B.convection_blk(e, uu))
+    f_blk = conv(bsr, u)
     f_blk = params.a0_cell + f_blk
     jax.block_until_ready(f_blk)
 
-    apply_f = jax.jit(lambda fb, x: B.apply_f(bsr, fb, x))
-    apply_bt = jax.jit(lambda xp: B.apply_bt(bsr, xp))
-    apply_b = jax.jit(lambda xu: B.apply_b(bsr, xu))
+    apply_f = jax.jit(lambda e, fb, x: B.apply_f(e, fb, x))
+    apply_bt = jax.jit(lambda e, xp: B.apply_bt(e, xp))
+    apply_b = jax.jit(lambda e, xu: B.apply_b(e, xu))
 
-    timeit("convection_blk (per-step assembly)", conv, u)
-    t_f = timeit("apply_f (F matvec)", apply_f, f_blk, u)
+    timeit("convection_blk (per-step assembly)", conv, bsr, u)
+    t_f = timeit("apply_f (F matvec)", apply_f, bsr, f_blk, u)
     f16 = f_blk.astype(jnp.bfloat16)
-    timeit("apply_f bf16 values", apply_f, f16, u)
-    timeit("apply_bt (G matvec)", apply_bt, p)
-    timeit("apply_b (B matvec)", apply_b, u)
+    timeit("apply_f bf16 values", apply_f, bsr, f16, u)
+    timeit("apply_bt (G matvec)", apply_bt, bsr, p)
+    timeit("apply_b (B matvec)", apply_b, bsr, u)
 
     # V-cycle on Ap
     from navierstokes_tpu.solvers.schur import make_vcycle_solver
@@ -93,11 +96,38 @@ def main():
     def apply_ap(v):
         return B.apply_b(bsr, B.apply_bt(bsr, v) * (wap * mask[:, 0])[:, None])
 
+    from navierstokes_tpu.ops.p1ell import ell_matvec
+    ap_op = params.ap_dir if params.ap_dir is not None else params.ap
+    apply_ell = jax.jit(lambda op, v: ell_matvec(op, v))
+    timeit("ell_matvec Ap (P1 Poisson)", apply_ell, ap_op, p)
     solve_ap = jax.jit(make_vcycle_solver(
-        apply_ap, params.ap_diag, ns._coarse_plan, params.ap_sc_inv,
-        n_cycles=cfg.schur_vcycles, smooth_k=cfg.schur_smooth_k,
-        lam_max=params.ap_lam))
-    timeit("solve_ap (2 V-cycles)", solve_ap, p)
+        lambda v: ell_matvec(ap_op, v), ap_op.diag, ns._coarse_plan,
+        params.ap_dir_sc_inv if params.ap_dir is not None
+        else params.ap_sc_inv,
+        n_cycles=1, smooth_k=cfg.schur_smooth_k,
+        lam_max=(params.ap_dir_lam if params.ap_dir is not None
+                 else params.ap_lam)))
+    timeit("V-cycle precond (Poisson)", solve_ap, p)
+
+    # block-Jacobi tile build (per step)
+    from navierstokes_tpu.ops.p1ell import (block_jacobi_apply,
+                                            block_jacobi_inverse)
+    if params.bj_plan is not None:
+        mflat0 = mask[:, 0]
+        bj_inv = jax.jit(lambda fb, mf: block_jacobi_inverse(
+            params.bj_plan, fb, mf, 1.0))
+        tiles = timeit("block_jacobi_inverse (per step)", bj_inv,
+                       f_blk, mflat0, n=5)
+        tiles_v = bj_inv(f_blk, mflat0)
+        bj_app = jax.jit(lambda tv, r: block_jacobi_apply(
+            params.bj_plan, tv, r))
+        timeit("block_jacobi_apply", bj_app, tiles_v, u)
+    mass_j = jax.jit(lambda e, uu: ns._ops.mass_apply(
+        type("P", (), {"cells": e, "mass_ell": params.mass_ell})(), uu))
+    try:
+        timeit("mass_apply (per step)", mass_j, bsr, u)
+    except Exception as ex:
+        print(f"mass_apply skipped: {ex}")
 
     # inner F solve as configured
     from navierstokes_tpu.solvers.preconditioners import InnerSolve
@@ -108,14 +138,16 @@ def main():
     dinv = (1.0 / d_bc)[:, None]
     inner_f = InnerSolve(cfg.inner_tol, cfg.inner_maxiter_f)
 
-    def masked_f(x):
-        xm = x * mask
-        y = B.apply_f(bsr, f_blk, xm)
-        return y * mask + sigma * (x - xm)
+    def inner_run(e, fb, rhs):
+        def masked_f(x):
+            xm = x * mask
+            y = B.apply_f(e, fb, xm)
+            return y * mask + sigma * (x - xm)
+        return inner_f(masked_f, rhs, lambda r: r * dinv)
 
-    inner = jax.jit(lambda rhs: inner_f(masked_f, rhs, lambda r: r * dinv))
+    inner = jax.jit(inner_run)
     t_in = timeit(f"inner F solve (bicgstab {cfg.inner_maxiter_f})",
-                  inner, u, n=5)
+                  inner, bsr, f_blk, u, n=5)
     print(f"  -> per matvec-equivalent: "
           f"{t_in/(2*cfg.inner_maxiter_f)*1e3:.3f} ms "
           f"(bare matvec {t_f*1e3:.3f} ms)")

@@ -70,10 +70,11 @@ def test_block_jacobi_inverse(setup):
     plan = build_block_jacobi_plan(bsr, S=2)
     inv = block_jacobi_inverse(plan, f_blk, jnp.asarray(mask), sigma)
 
-    # dense ground truth of one tile
-    n_vb, KB, bu, _ = f_blk.shape
+    # dense ground truth of one tile (flat row-major values: ops/bsr.py)
+    n_vb, bu, C = f_blk.shape
+    KB = C // bu
     Fd = np.zeros((sp.n_p2, sp.n_p2))
-    fb = np.asarray(f_blk)
+    fb = np.asarray(f_blk).reshape(n_vb, bu, KB, bu).transpose(0, 2, 1, 3)
     cols = np.asarray(bsr.f_cols)
     for r in range(n_vb):
         for kk in range(KB):
