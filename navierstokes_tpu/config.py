@@ -217,6 +217,13 @@ class SolverConfig:
     # attributed to inner_bf16, which also casts these tiles).  Usable at
     # CFL <~ 2; default off.
     bj_bf16: bool = False
+    # Newton-Schulz iterations for the per-step block-Jacobi tile
+    # inversion, seeded by the static-operator inverses (ops/p1ell.py
+    # block_jacobi_invert): 2*bj_newton batched 256^3 matmuls (~8 ms at
+    # 1M DoF) instead of a ~326 ms batched LU; falls back to the LU
+    # in-graph when the seed is out of the contraction region.
+    # 0 = exact LU every step.
+    bj_newton: int = 3
     # Consistent-mass realization for the once-per-step M u^n product:
     #   "auto"    — blocked in 2D (fast: reuses the F gather structure),
     #               node-ELL in 3D (compact: the blocked form would double

@@ -91,6 +91,7 @@ class StepParams:
     ap_lam: object          # lambda_max estimate for Ap smoothing
     mp_lumped: object       # (n_p1,) lumped pressure mass
     bj_plan: object         # BlockJacobiPlan | None (F tile preconditioner)
+    bj_x0: object           # static tile inverses of A0 (Newton seed)|None
     # projection-scheme Poisson operator (phi = 0 pinned on the outlet):
     ap_dir: object          # EllBlocked | None
     ap_dir_sc_inv: object
@@ -411,6 +412,7 @@ class NavierStokes:
         does not materialize an extra full-size operator temp — decisive
         for 3D HBM fit)."""
         cfg = self.config
+        self._bj_x0 = None      # Newton seed follows A0 (_bj_seed)
         dt = cfg.deltat
         ct = (1.5 if cfg.scheme == "projection" and cfg.proj_bdf2
               else 1.0)
@@ -447,6 +449,28 @@ class NavierStokes:
                               0.5 - 0.5 * jnp.cos(jnp.pi * t / r))
         return f.astype(self.dtype)
 
+    def _bj_seed(self):
+        """Static Newton seed for the per-step block-Jacobi tile
+        inversion: exact inverses of the BC-masked STATIC operator A0
+        (mass/dt + viscosity), computed once per setup (ops/p1ell.py
+        block_jacobi_invert).  A pure function of static data, so
+        checkpoint restarts reproduce the continuous run bit-for-bit."""
+        cfg = self.config
+        if (cfg.bj_newton <= 0 or cfg.f_precond != "bj"
+                or getattr(self, "_bj_plan", None) is None
+                or self._operator != "bsr"):
+            return None
+        if getattr(self, "_bj_x0", None) is None:
+            from navierstokes_tpu.ops.bsr import f_diag as bsr_f_diag
+            from navierstokes_tpu.ops.p1ell import block_jacobi_inverse
+            mflat = self.bc.mask[:, 0]
+            d = bsr_f_diag(self.ell, self.a0_cell)
+            sigma0 = jnp.sum(d * mflat) / jnp.maximum(jnp.sum(mflat), 1.0)
+            self._bj_x0 = jax.jit(
+                lambda f, m, s: block_jacobi_inverse(
+                    self._bj_plan, f, m, s))(self.a0_cell, mflat, sigma0)
+        return self._bj_x0
+
     def _params(self) -> StepParams:
         opdata = self.ell if self._operator in ("ell", "bsr") else self.cells
         return StepParams(cells=opdata, a0_cell=self.a0_cell,
@@ -464,6 +488,7 @@ class NavierStokes:
                           ap_lam=getattr(self, "_ap_lam", None),
                           mp_lumped=getattr(self, "_mp_lumped", None),
                           bj_plan=getattr(self, "_bj_plan", None),
+                          bj_x0=self._bj_seed(),
                           ap_dir=getattr(self, "_ap_dir", None),
                           ap_dir_sc_inv=getattr(self, "_ap_dir_sc_inv",
                                                 None),
@@ -495,7 +520,7 @@ class NavierStokes:
         masked weights as Ap, so Dirichlet values are preserved exactly
         and div-freedom holds to the Poisson-solve tolerance."""
         from navierstokes_tpu.ops.p1ell import (block_jacobi_apply,
-                                                block_jacobi_inverse,
+                                                block_jacobi_invert,
                                                 ell_matvec)
         from navierstokes_tpu.solvers.krylov import bicgstab, cg
         from navierstokes_tpu.solvers.schur import make_vcycle_solver
@@ -551,8 +576,9 @@ class NavierStokes:
             return yp
 
         if cfg.f_precond == "bj" and params.bj_plan is not None:
-            inv_tiles = block_jacobi_inverse(
-                params.bj_plan, f_cell, mflat, sigma)
+            inv_tiles = block_jacobi_invert(
+                params.bj_plan, f_cell, mflat, sigma,
+                x0=params.bj_x0, iters=cfg.bj_newton)
             if use_bf16 or (cfg.bj_bf16
                             and self.dtype == jnp.dtype(jnp.float32)):
                 inv_tiles = inv_tiles.astype(jnp.bfloat16)
@@ -733,13 +759,14 @@ class NavierStokes:
         if (cfg.f_precond == "bj" and params.bj_plan is not None
                 and self._operator == "bsr"):
             from navierstokes_tpu.ops.p1ell import (block_jacobi_apply,
-                                                    block_jacobi_inverse)
+                                                    block_jacobi_invert)
             inv_dtype = (jnp.bfloat16
                          if (cfg.inner_bf16 or cfg.bj_bf16)
                          and self.dtype == jnp.dtype(jnp.float32)
                          else self.dtype)
-            inv_tiles = block_jacobi_inverse(
-                params.bj_plan, f_cell, mflat, sigma).astype(inv_dtype)
+            inv_tiles = block_jacobi_invert(
+                params.bj_plan, f_cell, mflat, sigma,
+                x0=params.bj_x0, iters=cfg.bj_newton).astype(inv_dtype)
             pre_f = lambda r: block_jacobi_apply(params.bj_plan, inv_tiles, r)
         else:
             pre_f = lambda r: r * dinv
@@ -972,11 +999,12 @@ class NavierStokes:
                 and getattr(self, "_bj_plan", None) is not None):
             return 0.0
         try:
-            from navierstokes_tpu.ops.p1ell import block_jacobi_inverse
+            from navierstokes_tpu.ops.p1ell import block_jacobi_invert
             mflat = self.bc.mask[:, 0]
             sigma = jnp.asarray(1.0, self.dtype)
-            fn = jax.jit(lambda fc: block_jacobi_inverse(
-                params.bj_plan, fc, mflat, sigma))
+            fn = jax.jit(lambda fc: block_jacobi_invert(
+                params.bj_plan, fc, mflat, sigma,
+                x0=params.bj_x0, iters=cfg.bj_newton))
             jax.block_until_ready(fn(params.a0_cell))      # compile
             t0 = _walltime.perf_counter()
             jax.block_until_ready(fn(params.a0_cell))

@@ -34,9 +34,13 @@ _static = dict(static=True)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class EllBlocked:
-    """Square blocked-ELL matrix over one scalar field (P1 pressure)."""
+    """Square blocked-ELL matrix over one scalar field (P1 pressure).
+
+    Values use the flat row-major layout (n_b, b, K*b) with K padded so
+    K*b is a multiple of 128 — the matvec reduce then runs with the
+    128-lane axis fully utilized (see ops/bsr.py BsrData)."""
     cols: jax.Array    # (n_b, K) int32 block columns
-    vals: jax.Array    # (n_b, K, b, b)
+    vals: jax.Array    # (n_b, b, K*b)
     diag: jax.Array    # (n,) assembled diagonal
     n: int = dataclasses.field(metadata=_static)
     b: int = dataclasses.field(metadata=_static)
@@ -53,6 +57,8 @@ def _to_blocked_ell(rows, cols, vals, n, b, dtype):
     ru = (uk // stride).astype(np.int64)
     counts = np.bincount(ru, minlength=n_b)
     K = max(1, int(counts.max()))
+    lane_k = max(1, 128 // b)
+    K = -(-K // lane_k) * lane_k
     row_start = np.zeros(n_b + 1, np.int64)
     np.cumsum(counts, out=row_start[1:])
     k_of = np.arange(len(uk)) - row_start[ru]
@@ -65,27 +71,29 @@ def _to_blocked_ell(rows, cols, vals, n, b, dtype):
     diag = np.zeros(n)
     d = rows == cols
     np.add.at(diag, rows[d], vals[d])
+    flat = out.transpose(0, 2, 1, 3).reshape(n_b, b, K * b)
     ret = EllBlocked(cols=jnp.asarray(table.astype(np.int32)),
-                     vals=jnp.asarray(out, dtype),
+                     vals=jnp.asarray(flat, dtype),
                      diag=jnp.asarray(diag, dtype), n=n, b=b)
     # host copies (plain attributes) for setup-time consumers — avoids
-    # pulling the device arrays back over a tunneled TPU (~80 s each)
+    # pulling the device arrays back over a tunneled TPU (~80 s each);
+    # these keep the (n_b, K, b, b) BLOCK layout
     ret.host_vals = out
     ret.host_cols = table
     return ret
 
 
 def ell_matvec(m: EllBlocked, x):
-    """Blocked-ELL matvec, VPU mult-reduce formulation."""
+    """Blocked-ELL matvec: flat row-major full-lane VPU mult-reduce."""
     n_b, K = m.cols.shape
     pad = n_b * m.b - m.n
     xb = jnp.pad(x, (0, pad)).reshape(n_b, m.b)
-    xg = jnp.take(xb, m.cols, axis=0, mode="clip")                   # (n_b, K, b)
+    xg = jnp.take(xb, m.cols, axis=0, mode="clip").reshape(n_b, K * m.b)
     if m.vals.dtype == jnp.bfloat16:
-        prod = m.vals * xg.astype(jnp.bfloat16)[:, :, None, :]
-        y = prod.astype(jnp.float32).sum(axis=(1, 3)).astype(x.dtype)
+        prod = m.vals * xg.astype(jnp.bfloat16)[:, None, :]
+        y = prod.astype(jnp.float32).sum(-1).astype(x.dtype)
     else:
-        y = (m.vals * xg[:, :, None, :]).sum(axis=(1, 3))
+        y = (m.vals * xg[:, None, :]).sum(-1)           # (n_b, b)
     return y.reshape(-1)[:m.n]
 
 
@@ -242,8 +250,8 @@ def build_block_jacobi_plan(bsr, S: int = 8) -> BlockJacobiPlan:
                            n_tiles=n_tiles, S=S, bu=bsr.bu, n_p2=bsr.n_p2)
 
 
-def block_jacobi_inverse(plan: BlockJacobiPlan, f_blk, mask_flat, sigma):
-    """Per-step: gather tile diagonals of the BC-masked F and invert.
+def block_jacobi_tiles(plan: BlockJacobiPlan, f_blk, mask_flat, sigma):
+    """Gather the tile diagonals of the BC-masked F.
 
     f_blk: flat row-major (n_vb_ext, bu, KB*bu) — see ops/bsr.BsrData;
     mask_flat: (n_p2,) 1=interior 0=Dirichlet.
@@ -265,7 +273,53 @@ def block_jacobi_inverse(plan: BlockJacobiPlan, f_blk, mask_flat, sigma):
     eye = jnp.eye(plan.S * bu, dtype=t.dtype)
     t = t + (sigma * (1.0 - m))[:, :, None] * eye[None]
     # pad rows (beyond n_p2) have zero mask -> sigma on the diagonal: ok
-    return jnp.linalg.inv(t.astype(jnp.float32)).astype(f_blk.dtype)
+    return t.astype(jnp.float32)
+
+
+def block_jacobi_inverse(plan: BlockJacobiPlan, f_blk, mask_flat, sigma):
+    """Per-step exact tile inverse (batched LU).  ~326 ms/step at 1M DoF
+    on v5e — the time loop uses block_jacobi_invert (Newton-Schulz from
+    a static seed) instead; this exact form computes that seed."""
+    t = block_jacobi_tiles(plan, f_blk, mask_flat, sigma)
+    return jnp.linalg.inv(t).astype(f_blk.dtype)
+
+
+def block_jacobi_invert(plan: BlockJacobiPlan, f_blk, mask_flat, sigma,
+                        x0=None, iters: int = 3):
+    """Per-step tile inverses: Newton-Schulz from a static seed, with an
+    exact-LU fallback under a contraction guard.
+
+    ``x0``: tile inverses of the STATIC part A0 (mass/dt + viscosity),
+    computed once at setup.  F = A0 + C(u) differs by one convection
+    increment, so X <- X (2I - A X) (batched MXU matmuls) contracts the
+    seed error quadratically; ``iters``=3 costs 2*iters 256^3 batched
+    matmuls (~8 ms at 1M DoF) vs ~326 ms for the batched LU.  When the
+    max tile row-sum norm of (I - A X0) >= 0.9 (convection-dominated
+    tiles, e.g. CFL >> 1 impulsive starts), Newton may diverge — a
+    lax.cond falls back to the exact LU for that step.  The result is a
+    deterministic function of the step state (no cross-step carry), so
+    checkpoint restarts stay bit-for-bit."""
+    a = block_jacobi_tiles(plan, f_blk, mask_flat, sigma)
+    if x0 is None or iters <= 0:
+        return jnp.linalg.inv(a).astype(f_blk.dtype)
+    x = x0.astype(jnp.float32)
+    ax = jnp.matmul(a, x, preferred_element_type=jnp.float32)
+    eye = jnp.eye(a.shape[-1], dtype=jnp.float32)
+    r = jnp.abs(eye[None] - ax).sum(-1).max()
+
+    def newton(_):
+        xx, axx = x, ax
+        for i in range(iters):
+            xx = 2.0 * xx - jnp.matmul(xx, axx,
+                                       preferred_element_type=jnp.float32)
+            if i + 1 < iters:
+                axx = jnp.matmul(a, xx,
+                                 preferred_element_type=jnp.float32)
+        return xx
+
+    inv = jax.lax.cond(r < 0.9, newton,
+                       lambda _: jnp.linalg.inv(a), None)
+    return inv.astype(f_blk.dtype)
 
 
 def block_jacobi_apply(plan: BlockJacobiPlan, inv_tiles, r):

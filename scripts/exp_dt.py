@@ -89,6 +89,34 @@ def main():
                                 cd=round(float(ms.cd[0]), 4))
         log(f"dt={dt}: {rate:.3f} steps/s  iters={iters[-8:]} "
             f"res={res[-1]:.1e} finite={fin} cd={results[str(dt)]['cd']}")
+        # Newton-seed guard at the developed state: r = max tile row-sum
+        # of (I - F X0); Newton path taken iff r < 0.9 (ops/p1ell.py
+        # block_jacobi_invert)
+        if params.bj_x0 is not None:
+            from navierstokes_tpu.ops import bsr as B
+            from navierstokes_tpu.ops.p1ell import block_jacobi_tiles
+
+            @jax.jit
+            def guard_r(u_dev, up_dev):
+                ul = (2.0 * u_dev - up_dev if ns.config.proj_bdf2
+                      else u_dev)
+                f_blk = params.a0_cell + ns._ops.convection(params, ul)
+                mflat = ns.bc.mask[:, 0]
+                d = B.f_diag(ns.ell, f_blk)
+                sig = (jnp.sum(d * mflat)
+                       / jnp.maximum(jnp.sum(mflat), 1.0))
+                a = block_jacobi_tiles(params.bj_plan, f_blk, mflat, sig)
+                ax = jnp.matmul(a, params.bj_x0.astype(jnp.float32),
+                                preferred_element_type=jnp.float32)
+                eye = jnp.eye(a.shape[-1], jnp.float32)
+                return jnp.abs(eye[None] - ax).sum(-1).max()
+            try:
+                r = float(guard_r(u, up))
+                results[str(dt)]["guard_r"] = round(r, 3)
+                log(f"  newton guard r = {r:.3f} "
+                    f"({'newton' if r < 0.9 else 'LU fallback'})")
+            except Exception as e:
+                log(f"  guard probe failed: {e}")
 
     print(json.dumps(results, indent=1))
 
