@@ -171,6 +171,17 @@ class SolverConfig:
     outer_tol: float = 1.0e-6     # relative to ||rhs||
     outer_maxiter: int = 200      # reference allows 10000
     outer_restart: int = 64       # larger basis measurably cuts iterations
+    # Compensated (double-float) iterative-refinement passes after the
+    # monolithic solve (solvers/refine.py).  Breaks the fp32 attainable-
+    # residual floor (~3e-6*||b||) that washed out small force
+    # coefficients (2D-1 Cl, VALIDATION.md round 2) — the TPU-native
+    # stand-in for the reference's all-f64 solve
+    # (src/NavierStokes.cpp:348, 377).  0 = off.  Monolithic BSR fp32
+    # only (the projection scheme's splitting error dominates its solver
+    # floor, so refinement is not wired there).
+    refine: int = 0
+    refine_tol: float = 1.0e-2    # relative tol of each correction solve
+    refine_maxiter: int = 60
     # Block preconditioner:
     #   "cc"      — Cahouet-Chabard Schur approximation (static pressure-
     #               Laplacian V-cycle + pressure mass): h/dt-robust, the

@@ -742,12 +742,14 @@ class NavierStokes:
         factor = self._time_factor(t_new).astype(self.dtype)
         g = bc.lift(factor)                             # lifted Dirichlet
         b_u = ops.mass_apply(params, u) / dt + params.rhs_neumann
+        f_extra = None
         if self.forcing is not None:
             xq = params.forcing_xq
             fq = self.forcing(xq.reshape(-1, self.dim), t_new)
             fq = jnp.asarray(fq, self.dtype).reshape(xq.shape)
             r_c = jnp.einsum("cqa,cqd->cad", params.forcing_w, fq)
-            b_u = b_u + self._forcing_scat(r_c.reshape(-1, self.dim))
+            f_extra = self._forcing_scat(r_c.reshape(-1, self.dim))
+            b_u = b_u + f_extra
         ag_u, ag_p = ops.apply_blocks(params, f_cell, g, zero_p)
         b_u = (b_u - ag_u) * mask + sigma * g
         b_p = -ag_p
@@ -872,6 +874,33 @@ class NavierStokes:
                      restart=cfg.outer_restart, maxiter=cfg.outer_maxiter,
                      precond=M)
         u_new, p_new = res.x
+        true_res = res.residual
+        if (cfg.refine > 0 and self._operator == "bsr"
+                and params.cells.m_blk is not None
+                and self.dtype == jnp.dtype(jnp.float32)):
+            # compensated iterative refinement (solvers/refine.py):
+            # df-accurate residual of the SAME masked system + fp32
+            # correction solves with the step's preconditioner
+            from navierstokes_tpu.solvers.refine import (refine_saddle,
+                                                         rhs_df)
+            b_df = rhs_df(params.cells, f_cell, mask, sigma,
+                          params.cells.m_blk, u, g, dt,
+                          params.rhs_neumann, extra=f_extra)
+
+            def _corr(r):
+                rr = fgmres(apply_A, r, tol=cfg.refine_tol,
+                            restart=cfg.outer_restart,
+                            maxiter=cfg.refine_maxiter, precond=M)
+                return rr.x
+
+            (u_new, p_new), true_res = refine_saddle(
+                params.cells, f_cell, mask, sigma, b_df,
+                (u_new, p_new), _corr, cfg.refine)
+            # layout pin (see ops/operators.py): without it the refined
+            # outputs can pick a different XLA:CPU layout than the scan
+            # carry, which breaks donated-buffer reuse across chunk calls
+            u_new = u_new + 0.0 * u
+            p_new = p_new + 0.0 * p
         u_new = u_new * mask + g   # exact boundary values
 
         # ---- forces (cpp:831-929) ----
@@ -892,7 +921,7 @@ class NavierStokes:
             drag = lift = cd = cl = jnp.asarray(0.0, self.dtype)
 
         metrics = StepMetrics(time=t_new, iterations=res.iterations,
-                              residual=res.residual, drag=drag, lift=lift,
+                              residual=true_res, drag=drag, lift=lift,
                               cd=cd, cl=cl)
         phi = (jnp.zeros_like(p) if phi_prev is None else phi_prev)
         return u_new, p_new, t_new, phi, metrics

@@ -22,6 +22,11 @@ from navierstokes_tpu.scenarios.registry import (SCENARIOS, build_solver,
 
 def _enable_cache():
     import jax
+    # honor JAX_PLATFORMS even when a sitecustomize force-registers an
+    # accelerator backend (this environment's axon TPU tunnel overrides
+    # the env var; only the explicit config update reliably wins)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_nstpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -49,6 +54,10 @@ def _add_common(p):
                         "projection = pressure-correction (fast)")
     p.add_argument("--n-devices", type=int, default=SolverConfig.n_devices,
                    help="0 = all visible devices, 1 = single device")
+    p.add_argument("--refine", type=int, default=SolverConfig.refine,
+                   help="compensated iterative-refinement passes per "
+                        "monolithic solve (f64-grade accuracy on fp32 "
+                        "hardware; solvers/refine.py)")
     p.add_argument("--output-dir", type=str, default="output")
     p.add_argument("--cache-dir", type=str, default="cache")
     p.add_argument("--csv", type=str, default="forces_vs_time.csv")
@@ -57,7 +66,7 @@ def _add_common(p):
 def _build(args, name, mesh_kwargs=None):
     cfg = SolverConfig(dtype=args.dtype, preconditioner=args.preconditioner,
                        operator=args.operator, n_devices=args.n_devices,
-                       scheme=args.scheme,
+                       scheme=args.scheme, refine=args.refine,
                        output_dir=args.output_dir, cache_dir=args.cache_dir,
                        csv_path=args.csv)
     overrides = {}

@@ -108,7 +108,7 @@ def main():
                 a = block_jacobi_tiles(params.bj_plan, f_blk, mflat, sig)
                 ax = jnp.matmul(a, params.bj_x0.astype(jnp.float32),
                                 preferred_element_type=jnp.float32)
-                eye = jnp.eye(a.shape[-1], jnp.float32)
+                eye = jnp.eye(a.shape[-1], dtype=jnp.float32)
                 return jnp.abs(eye[None] - ax).sum(-1).max()
             try:
                 r = float(guard_r(u, up))

@@ -1,0 +1,52 @@
+"""Sanity assertions over committed scenario traces (artifacts/).
+
+The reference validates its scenario drivers by eyeballing
+forces_vs_time.csv plots (analysis/plot_coefficients.ipynb); here every
+committed campaign trace gets an automated check: finite tail, physically
+plausible coefficient ranges, and monotone time.  Each test skips if its
+artifact has not been produced yet (the campaign runs on the TPU,
+scripts/run_scenarios.py).
+
+Reference counterparts: tests/{2,3}D/test_0{2,3}/src/*.cpp and
+mesh/domain3D2.geo.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+ART = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+
+# name -> (cd_lo, cd_hi, cl_absmax) in the REFERENCE normalization the
+# scenario actually runs (registry re/mean conventions; loose bands — the
+# point is "physically plausible and finite", not benchmark accuracy).
+CASES = {
+    # pulsating 2D: coefficients normalized by the instantaneous mean
+    # velocity; Cd peaks early in the cycle where U is small
+    "scenario_2d-test3.csv": (0.0, 50.0, 60.0),
+    # 3D Re=100 square column (reference tests/3D/test_02)
+    "scenario_3d-test2.csv": (0.5, 15.0, 10.0),
+    # 3D pulsating (reference tests/3D/test_03)
+    "scenario_3d-test3.csv": (0.0, 50.0, 60.0),
+    # 3D circular cylinder duct at true Re=5 ("Re=20" reference quirk)
+    "scenario_3d-cylinder.csv": (0.5, 30.0, 10.0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_scenario_trace(name):
+    path = os.path.join(ART, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not produced yet (run scripts/run_scenarios.py)")
+    d = np.genfromtxt(path, delimiter=",", names=True)
+    assert len(d) >= 50, "trace too short to be a real run"
+    t = d["time"]
+    assert np.all(np.diff(t) > 0), "time not monotone"
+    tail = d[int(0.6 * len(d)):]
+    for col in ("Cd", "Cl", "Drag", "Lift"):
+        assert np.isfinite(tail[col]).all(), f"{col} has non-finite entries"
+    lo, hi, clmax = CASES[name]
+    cd_mean = float(np.mean(tail["Cd"]))
+    assert lo <= cd_mean <= hi, f"tail mean Cd {cd_mean} outside [{lo},{hi}]"
+    assert float(np.max(np.abs(tail["Cl"]))) <= clmax
