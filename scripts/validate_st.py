@@ -35,6 +35,9 @@ from navierstokes_tpu.utils.analysis import load_forces, strouhal
 case = sys.argv[1] if len(sys.argv) > 1 else "2d1"
 h = float(sys.argv[2]) if len(sys.argv) > 2 else 0.015
 scheme = "projection" if "--projection" in sys.argv else "monolithic"
+refine = 0
+if "--refine" in sys.argv:
+    refine = int(sys.argv[sys.argv.index("--refine") + 1])
 
 # True Schaefer-Turek setup: nu = 1e-3, D = 0.1 normalization.  (Note: the
 # reference's set_re_number path uses its Diameter=0.4 quirk, which at
@@ -55,13 +58,15 @@ else:
     mesh = channel_with_cylinder_2d(h=h, h_near=h / 3, wake_levels=wl)
     if case == "2d1":
         inlet = InletConfig(kind="parabolic", u_m=0.3, height=0.41)
-        dt, T = 0.01, 4.0
+        # T=6: the start-up Cl oscillation decays by ~t=4.5; the tail
+        # statistic then samples the converged steady state
+        dt, T = 0.01, 6.0
     else:
         inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41)
         dt, T = 0.0025, 8.0
 
 cfg = SolverConfig(dtype=dtype, nu=1.0e-3, ref_length=0.1,
-                   force_formula="st", scheme=scheme,
+                   force_formula="st", scheme=scheme, refine=refine,
                    proj_f_maxiter=100, proj_p_maxiter=50,
                    # 16x16 BSR tiles in 3D: the 8x8 default lane-pads 16x
                    # under XLA's TPU tiling (measured OOM at 772k DoF)
