@@ -270,6 +270,13 @@ class SolverConfig:
     # (default; chip-validated at the 1M-DoF bench point: stable, ~6%
     # faster end-to-end, identical physics).
     bsr_f_kmax: int = -1
+    # F matvec realization over the BSR values (ops/bsr.apply_f):
+    #   "xla"    — per-component gather + fused multiply-reduce (default)
+    #   "pallas" — fused multi-component Pallas kernel
+    #              (ops/pallas_matvec.py): one HBM pass over the value
+    #              array for ALL velocity components (~2x less value
+    #              traffic in 2D, ~3x in 3D)
+    f_matvec: str = "xla"
     # Two-level Schur solve (solvers/schur.py): pressure BSR blocks per
     # aggregate (coarse size = n_p1 / (bp * this)), V-cycle count and
     # Chebyshev smoothing steps per cycle.

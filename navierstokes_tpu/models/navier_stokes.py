@@ -234,7 +234,7 @@ class NavierStokes:
                 from navierstokes_tpu.ops.p1ell import build_mass_node_ell
                 self._mass_ell = build_mass_node_ell(sp, cells_host,
                                                      self.dtype)
-            self._ops = BsrOps()
+            self._ops = BsrOps(f_matvec=cfg.f_matvec)
             self._coarse_plan = build_coarse_plan(self.ell,
                                                   cfg.schur_agg_blocks)
             self._build_cc_statics()

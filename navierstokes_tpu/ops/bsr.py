@@ -192,18 +192,25 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
     K0 = f_kmax if f_kmax > 0 else KB
     over = kn >= K0
     ovf_rows_host = np.zeros(0, np.int64)
+    # TILE: round the extended row count so n_vb_ext is a multiple of the
+    # Pallas matvec row-tile (ops/pallas_matvec.ROW_TILE).  Padding rows
+    # ride the overflow mechanism: zero values, scatter-add into physical
+    # row 0 (a no-op).  Cost <= 63 zero block rows.
+    TILE = 64
     if over.any():
         chunk = (kn[over] - K0) // K0
         vkey = pr_row[over] * 64 + chunk            # chunk < 64 always
         uniq, vinv = np.unique(vkey, return_inverse=True)
         n_or = rup(len(uniq))
+        n_or += (-(n_vb + n_or)) % TILE
         ovf_rows_host = np.zeros(n_or, np.int64)    # pad rows scatter to 0
         ovf_rows_host[:len(uniq)] = uniq // 64
         vrow_pair = np.where(over, 0, pr_row)       # placeholder
         vrow_pair[over] = n_vb + vinv
         kext_pair = np.where(over, (kn - K0) % K0, kn)
     else:
-        n_or = 0
+        n_or = (-n_vb) % TILE
+        ovf_rows_host = np.zeros(n_or, np.int64)
         vrow_pair = pr_row
         kext_pair = kn
     n_vb_ext = n_vb + n_or
@@ -541,7 +548,21 @@ def convection_blk(bsr: BsrData, u):
 
 
 class BsrOps:
-    """Ops-interface implementation over BsrData (models/navier_stokes)."""
+    """Ops-interface implementation over BsrData (models/navier_stokes).
+
+    ``f_matvec="pallas"`` routes the F apply through the fused
+    multi-component Pallas kernel (ops/pallas_matvec.py) — one HBM pass
+    over the values for all velocity components instead of one per
+    component."""
+
+    def __init__(self, f_matvec: str = "xla"):
+        self.f_matvec = f_matvec
+
+    def _apply_f(self, bsr, f_blk, xu):
+        if self.f_matvec == "pallas":
+            from navierstokes_tpu.ops.pallas_matvec import apply_f_fused
+            return apply_f_fused(bsr, f_blk, xu)
+        return apply_f(bsr, f_blk, xu)
 
     def convection(self, params, u):
         return convection_blk(params.cells, u)
@@ -551,7 +572,7 @@ class BsrOps:
         bsr = params.cells
         yu = None
         if with_f:
-            yu = apply_f(bsr, f_blk, xu)
+            yu = self._apply_f(bsr, f_blk, xu)
         if with_g:
             g = apply_bt(bsr, xp)
             yu = g if yu is None else yu + g
@@ -569,7 +590,7 @@ class BsrOps:
         if params.cells.m_blk is None:
             from navierstokes_tpu.ops.p1ell import node_mass_apply
             return node_mass_apply(params.mass_ell, u)
-        return mass_apply(params.cells, u)
+        return self._apply_f(params.cells, params.cells.m_blk, u)
 
     def schur_diag(self, params, node_weights):
         return schur_diag(params.cells, node_weights)
