@@ -38,10 +38,14 @@ CAMPAIGN = {
 }
 
 
-def tail_stats(csv_path):
+def tail_stats(csv_path, pulsating=False):
     d = np.genfromtxt(csv_path, delimiter=",", names=True)
     n = len(d)
     tail = d[int(0.6 * n):]
+    if pulsating:
+        # instantaneous-mean normalization (reference get_mean_vel carries
+        # sin(pi t/8)): Cd/Cl -> inf as sin -> 0 by construction; mask
+        tail = tail[np.abs(np.sin(np.pi * tail["time"] / 8.0)) >= 0.2]
     return dict(
         rows=n,
         t_last=round(float(d["time"][-1]), 4),
@@ -81,7 +85,7 @@ def main():
             continue
         dst = os.path.join(ROOT, "artifacts", f"scenario_{name}.csv")
         shutil.copyfile(csv, dst)
-        summary[name] = dict(rc=0, **tail_stats(dst))
+        summary[name] = dict(rc=0, **tail_stats(dst, "test3" in name))
         print(f"{name}: {summary[name]}", flush=True)
     print(json.dumps(summary, indent=1))
 

@@ -18,19 +18,23 @@ import pytest
 
 ART = os.path.join(os.path.dirname(__file__), "..", "artifacts")
 
-# name -> (cd_lo, cd_hi, cl_absmax) in the REFERENCE normalization the
-# scenario actually runs (registry re/mean conventions; loose bands — the
-# point is "physically plausible and finite", not benchmark accuracy).
+# name -> (cd_lo, cd_hi, cl_absmax, pulsating) in the REFERENCE
+# normalization the scenario actually runs (registry re/mean conventions;
+# loose bands — the point is "physically plausible and finite", not
+# benchmark accuracy).  Pulsating drivers normalize by the INSTANTANEOUS
+# mean velocity (reference get_mean_vel carries sin(pi t/8),
+# tests/2D/test_03/src/test_03.cpp:41-44), so the printed Cd/Cl blow up
+# as sin -> 0 at t -> 0, 8 BY CONSTRUCTION — exactly as the reference's
+# own output does.  Their statistics therefore mask |sin| < 0.2; the raw
+# Drag/Lift columns are checked unmasked.
 CASES = {
-    # pulsating 2D: coefficients normalized by the instantaneous mean
-    # velocity; Cd peaks early in the cycle where U is small
-    "scenario_2d-test3.csv": (0.0, 50.0, 60.0),
+    "scenario_2d-test3.csv": (0.0, 50.0, 60.0, True),
     # 3D Re=100 square column (reference tests/3D/test_02)
-    "scenario_3d-test2.csv": (0.5, 15.0, 10.0),
+    "scenario_3d-test2.csv": (0.5, 15.0, 10.0, False),
     # 3D pulsating (reference tests/3D/test_03)
-    "scenario_3d-test3.csv": (0.0, 50.0, 60.0),
+    "scenario_3d-test3.csv": (0.0, 50.0, 60.0, True),
     # 3D circular cylinder duct at true Re=5 ("Re=20" reference quirk)
-    "scenario_3d-cylinder.csv": (0.5, 30.0, 10.0),
+    "scenario_3d-cylinder.csv": (0.5, 30.0, 10.0, False),
 }
 
 
@@ -43,10 +47,15 @@ def test_scenario_trace(name):
     assert len(d) >= 50, "trace too short to be a real run"
     t = d["time"]
     assert np.all(np.diff(t) > 0), "time not monotone"
+    lo, hi, clmax, pulsating = CASES[name]
     tail = d[int(0.6 * len(d)):]
-    for col in ("Cd", "Cl", "Drag", "Lift"):
+    for col in ("Drag", "Lift"):
         assert np.isfinite(tail[col]).all(), f"{col} has non-finite entries"
-    lo, hi, clmax = CASES[name]
+    assert float(np.max(np.abs(tail["Drag"]))) < 1e3
+    if pulsating:
+        tail = tail[np.abs(np.sin(np.pi * tail["time"] / 8.0)) >= 0.2]
+    for col in ("Cd", "Cl"):
+        assert np.isfinite(tail[col]).all(), f"{col} has non-finite entries"
     cd_mean = float(np.mean(tail["Cd"]))
     assert lo <= cd_mean <= hi, f"tail mean Cd {cd_mean} outside [{lo},{hi}]"
     assert float(np.max(np.abs(tail["Cl"]))) <= clmax
