@@ -366,6 +366,35 @@ def _coords_with(h, length, must_include=()):
     return np.concatenate(segs)
 
 
+def _graded_coords(h, h_near, length, must_include=(), fine=(), growth=0.15):
+    """1D coordinates on [0, length] with spacing ~h_near inside the `fine`
+    intervals, growing geometrically (ratio ~1+growth per cell) to ~h away
+    from them.  Contains `must_include` coordinates exactly.  Spacing is
+    distributed by equidistributing the density 1/h(x) on each knot segment,
+    so the grid is smooth and endpoints land exactly."""
+    if h_near is None or h_near >= h or not len(fine):
+        return _coords_with(h, length, must_include)
+    fine = [(float(lo), float(hi)) for lo, hi in fine]
+
+    def hx(x):
+        d = min(max(lo - x, x - hi, 0.0) for lo, hi in fine)
+        return np.minimum(h, h_near + growth * d)
+
+    knots = np.unique(np.concatenate([[0.0, length],
+                                      np.asarray(must_include, float)]))
+    segs = []
+    for a, b in zip(knots[:-1], knots[1:]):
+        xs = np.linspace(a, b, 2049)
+        dens = 1.0 / np.array([hx(x) for x in xs])
+        cum = np.concatenate(
+            [[0.0], np.cumsum((dens[1:] + dens[:-1]) / 2 * np.diff(xs))])
+        n = max(1, int(np.ceil(cum[-1])))
+        nodes = np.interp(np.linspace(0.0, cum[-1], n + 1), cum, xs)
+        segs.append(nodes[:-1])
+    segs.append([length])
+    return np.concatenate(segs)
+
+
 def box_3d(lx=1.0, ly=1.0, lz=1.0, n=4):
     xs = np.linspace(0, lx, n + 1)
     ys = np.linspace(0, ly, n + 1)
@@ -378,11 +407,16 @@ def box_3d(lx=1.0, ly=1.0, lz=1.0, n=4):
 
 
 def duct_with_box_obstacle_3d(h=0.05, lx=2.5, ly=0.41, lz=0.41,
-                              ox=0.45, oy=0.15, s=0.1):
-    """3D duct with a square-section column obstacle (mesh/domain3D.geo)."""
-    xs = _coords_with(h, lx, (ox, ox + s))
-    ys = _coords_with(h, ly, (oy, oy + s))
-    zs = _coords_with(h, lz)
+                              ox=0.45, oy=0.15, s=0.1, h_near=None,
+                              h_z=None):
+    """3D duct with a square-section column obstacle (mesh/domain3D.geo).
+
+    With `h_near`, the x/y grids are graded: spacing ~h_near at the column
+    faces growing geometrically to ~h in the far field (the column spans the
+    full z height, so z stays uniform at `h_z` or `h`)."""
+    xs = _graded_coords(h, h_near, lx, (ox, ox + s), fine=[(ox, ox + s)])
+    ys = _graded_coords(h, h_near, ly, (oy, oy + s), fine=[(oy, oy + s)])
+    zs = _coords_with(h_z if h_z is not None else h, lz)
 
     def keep(cx, cy, cz):
         inside = ((cx > ox) & (cx < ox + s) & (cy > oy) & (cy < oy + s))

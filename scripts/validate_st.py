@@ -50,7 +50,13 @@ if case == "3d1":
     # bi-parabolic inlet U_m=0.45 (tests/3D/test_01/src/test_01.cpp:15,24),
     # TRUE Re = U_mean*D/nu = 0.2*0.1/1e-3 = 20; published Cd 7.5-7.7
     from navierstokes_tpu.mesh import duct_with_box_obstacle_3d
-    mesh = duct_with_box_obstacle_3d(h=h)
+    h_near = None
+    if "--hnear" in sys.argv:
+        h_near = float(sys.argv[sys.argv.index("--hnear") + 1])
+    h_z = None
+    if "--hz" in sys.argv:
+        h_z = float(sys.argv[sys.argv.index("--hz") + 1])
+    mesh = duct_with_box_obstacle_3d(h=h, h_near=h_near, h_z=h_z)
     inlet = InletConfig(kind="biparabolic", u_m=0.45, height=0.41)
     dt, T = 0.01, 3.0
 else:
@@ -64,6 +70,9 @@ else:
     else:
         inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41)
         dt, T = 0.0025, 8.0
+
+if "--T" in sys.argv:
+    T = float(sys.argv[sys.argv.index("--T") + 1])
 
 cfg = SolverConfig(dtype=dtype, nu=1.0e-3, ref_length=0.1,
                    force_formula="st", scheme=scheme, refine=refine,
