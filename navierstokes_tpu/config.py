@@ -251,6 +251,17 @@ class SolverConfig:
     # 117 -> 46).  Use `ramp` for impulsive high-CFL starts.
     mass_format: str = "auto"
 
+    # Curved (superparametric P2) geometry on obstacle boundaries: when the
+    # mesh carries analytic boundary projectors (Mesh.snap_projectors, set
+    # by the native generators), midside P2 nodes on those boundaries are
+    # snapped onto the exact curve/surface and the touched cells + faces
+    # use per-quadrature-point quadratic geometry (exact element matrices,
+    # convection, normals and force integrals).  This is what gmsh+deal.II
+    # get from resolving the circle at local h (mesh/domain2D.geo:10) and
+    # it is what lands 2D-1 Cl inside the published band.  Inert for
+    # polygonal/gmsh meshes without projectors.
+    curved_boundary: bool = True
+
     # Numerics
     dtype: str = "float32"        # compute dtype on device
     # Operator realization:

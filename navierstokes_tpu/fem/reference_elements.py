@@ -32,6 +32,7 @@ import numpy as np
 
 from navierstokes_tpu.fem.quadrature import gauss_simplex
 
+EDGES_1D = ((0, 1),)
 EDGES_2D = ((0, 1), (0, 2), (1, 2))
 EDGES_3D = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
 
@@ -56,6 +57,8 @@ def _grad_bary(dim: int) -> np.ndarray:
 
 
 def edges_of(dim: int):
+    if dim == 1:
+        return EDGES_1D
     return EDGES_2D if dim == 2 else EDGES_3D
 
 

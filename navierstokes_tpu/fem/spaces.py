@@ -24,7 +24,9 @@ import functools
 import numpy as np
 
 from navierstokes_tpu.fem.reference_elements import (ReferenceSimplex,
-                                                     edges_of, facets_of)
+                                                     edges_of, facets_of,
+                                                     shape_grads,
+                                                     shape_values)
 from navierstokes_tpu.mesh.geometry import Mesh
 
 
@@ -52,9 +54,36 @@ class FaceData:
     dphi_v_ref: np.ndarray     # (n_f, n_fq, n_v, dim) reference grads
     phi_p: np.ndarray          # (n_f, n_fq, n_p)
 
+    # Per-quad-point cell-geometry inverse Jacobians for faces whose owning
+    # cell is curved (superparametric boundary): (n_f, n_fq, dim, dim), or
+    # None for straight (affine) faces.
+    jinv_q: np.ndarray | None = None
+
     @property
     def n_faces(self):
         return len(self.cells)
+
+
+@dataclasses.dataclass
+class CurvedData:
+    """Quadratic-geometry quadrature data for the curved (boundary-snapped)
+    cell subset — the superparametric replacement for the affine factors of
+    ops/assembly.geometric_factors on those cells.
+
+    The reference gets its obstacle-boundary fidelity from gmsh resolving
+    the circle at the local mesh size (mesh/domain2D.geo:10); here the P2
+    midside nodes on the tagged boundary are projected onto the analytic
+    curve and the touched cells integrate with the quadratic map
+    x(xi) = sum_a X_a phi2_a(xi) — per-point J, detJ, J^{-1}.
+    """
+    ids: np.ndarray        # (k,) curved cell ids (sorted)
+    qp: np.ndarray         # (n_q, dim) quadrature points (higher-order rule)
+    qw: np.ndarray         # (n_q,)
+    phi_v: np.ndarray      # (n_q, n_v) P2 values
+    dphi_v: np.ndarray     # (n_q, n_v, dim) P2 reference gradients
+    phi_p: np.ndarray      # (n_q, n_p) P1 values
+    detj_q: np.ndarray     # (k, n_q)
+    jinv_q: np.ndarray     # (k, n_q, dim, dim)  jinv[x, d] = dxi_x/dx_d
 
 
 class TaylorHoodSpace:
@@ -122,6 +151,11 @@ class TaylorHoodSpace:
 
         # boundary face -> (cell, local facet)
         self._bf_cells, self._bf_locals = mesh.match_boundary_faces()
+
+        # curved-boundary (snapped) state
+        self._snapped_nodes = np.zeros(0, dtype=np.int64)
+        self._snapped_tags: set[int] = set()
+        self._curved_cache: CurvedData | None = None
 
     def _reorder_p2(self):
         """Hilbert-order the P2 nodes by their coordinates.

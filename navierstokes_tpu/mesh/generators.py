@@ -412,11 +412,16 @@ def duct_with_box_obstacle_3d(h=0.05, lx=2.5, ly=0.41, lz=0.41,
     """3D duct with a square-section column obstacle (mesh/domain3D.geo).
 
     With `h_near`, the x/y grids are graded: spacing ~h_near at the column
-    faces growing geometrically to ~h in the far field (the column spans the
-    full z height, so z stays uniform at `h_z` or `h`)."""
+    faces growing geometrically to ~h in the far field.  The column spans
+    the full z height, so z stays uniform — at `h_z` when given, else
+    coupled to the refinement (min(h, 2*h_near)) so near-column cells keep
+    a bounded aspect ratio instead of the ~h/h_near Kuhn-tet slivers an
+    uncoupled default would produce."""
     xs = _graded_coords(h, h_near, lx, (ox, ox + s), fine=[(ox, ox + s)])
     ys = _graded_coords(h, h_near, ly, (oy, oy + s), fine=[(oy, oy + s)])
-    zs = _coords_with(h_z if h_z is not None else h, lz)
+    if h_z is None:
+        h_z = h if h_near is None else min(h, 2.0 * h_near)
+    zs = _coords_with(h_z, lz)
 
     def keep(cx, cy, cz):
         inside = ((cx > ox) & (cx < ox + s) & (cy > oy) & (cy < oy + s))
