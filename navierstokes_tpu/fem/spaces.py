@@ -46,7 +46,9 @@ class FaceData:
     """
     cells: np.ndarray          # (n_f,) adjacent cell ids
     local_facets: np.ndarray   # (n_f,) local facet index in the cell
-    normals: np.ndarray        # (n_f, dim) outward unit normal (per face)
+    normals: np.ndarray        # (n_f, n_fq, dim) outward unit normals per
+    #                            quad point (constant across q on straight
+    #                            faces, varying on curved/snapped ones)
     jxw: np.ndarray            # (n_f, n_fq) quadrature weights x |detJ_face|
     qp_phys: np.ndarray        # (n_f, n_fq, dim) physical quad points
     # Cell-basis tables evaluated at this face's quad points:
@@ -175,6 +177,87 @@ class TaylorHoodSpace:
         self._vertex_node = inv[self._vertex_node]
         self._edge_node = inv[self._edge_node]
 
+    # ---- curved (superparametric) boundary geometry ----------------------
+
+    def snap_boundaries(self, projectors: dict) -> list[int]:
+        """Snap the P2 midside nodes on tagged boundary facets onto analytic
+        surfaces: ``projectors[tag]((m, dim) pts) -> (m, dim)``.
+
+        Mesh vertices stay put (the generators already place them on the
+        surface; moving them could invert cells) — only the edge-midpoint
+        geometry nodes move, by O(h^2/8R), turning the boundary cells into
+        quadratic (isoparametric-quality) cells.  The touched cells must
+        afterwards integrate with the quadratic map — ``curved_data()``
+        provides the per-quadrature-point factors, and ``face_data`` of a
+        snapped tag returns per-point normals/JxW from the curved facet map.
+
+        This is the TPU-native answer to the reference's geometry pipeline,
+        where gmsh resolves the r=0.05 circle at the local mesh size
+        (mesh/domain2D.geo:10) so the polygonal error shrinks with h; here
+        the error drops to O(h^3) at any resolution.  Returns the tags that
+        had faces to snap."""
+        snapped = []
+        new_nodes = []
+        for tag, proj in projectors.items():
+            sel = self.mesh.boundary_tags == tag
+            faces = np.asarray(self.mesh.boundary_faces[sel], np.int64)
+            if len(faces) == 0:
+                continue
+            en = []
+            d = faces.shape[1]
+            for i in range(d):
+                for j in range(i + 1, d):
+                    en.append(self._edge_node[
+                        self.edge_id(faces[:, i], faces[:, j])])
+            en = np.unique(np.concatenate(en))
+            self.p2_coords[en] = np.asarray(proj(self.p2_coords[en]))
+            new_nodes.append(en)
+            self._snapped_tags.add(tag)
+            snapped.append(tag)
+        if new_nodes:
+            self._snapped_nodes = np.unique(
+                np.concatenate([self._snapped_nodes] + new_nodes))
+            self._curved_cache = None
+            type(self).face_data.cache_clear()
+        return snapped
+
+    def curved_data(self) -> CurvedData | None:
+        """Quadratic-map quadrature factors for the cells touched by
+        ``snap_boundaries`` (None when nothing is snapped).  Uses a
+        one-order-higher conical Gauss rule than the affine cells: the
+        curved integrands are rational in the reference coordinates, so the
+        extra points keep the geometric quadrature error below the O(h^3)
+        interpolation error the curving buys."""
+        if len(self._snapped_nodes) == 0:
+            return None
+        if self._curved_cache is not None:
+            return self._curved_cache
+        from navierstokes_tpu.fem.quadrature import gauss_simplex
+        dim = self.dim
+        mask = np.zeros(self.n_p2, dtype=bool)
+        mask[self._snapped_nodes] = True
+        ids = np.flatnonzero(
+            mask[self.cell_p2.astype(np.int64)].any(axis=1)).astype(np.int64)
+        qp, qw = gauss_simplex(dim, 4)
+        phi_v = shape_values(dim, 2, qp)
+        dphi_v = shape_grads(dim, 2, qp)
+        phi_p = shape_values(dim, 1, qp)
+        X = self.p2_coords[self.cell_p2[ids].astype(np.int64)]  # (k,n_v,dim)
+        # J[k,q,d,x] = dx_d/dxi_x of the quadratic map x(xi) = sum X phi2
+        J = np.einsum("kad,qax->kqdx", X, dphi_v)
+        detj_q = np.linalg.det(J)
+        if (detj_q <= 0).any():
+            bad = int((detj_q.min(axis=1) <= 0).sum())
+            raise ValueError(
+                f"boundary snapping produced {bad} curved cells with a "
+                "non-positive Jacobian — mesh too coarse for the surface "
+                "curvature (h_near vs R)")
+        jinv_q = np.linalg.inv(J)        # [k,q,x,d] = dxi_x/dx_d
+        self._curved_cache = CurvedData(
+            ids=ids, qp=qp, qw=qw, phi_v=phi_v, dphi_v=dphi_v, phi_p=phi_p,
+            detj_q=detj_q, jinv_q=jinv_q)
+        return self._curved_cache
+
     def pressure_at_p2_nodes(self, p: np.ndarray) -> np.ndarray:
         """Prolong a P1 (vertex) pressure field to all P2 nodes (exact for
         P1): vertices keep values, edge midpoints average their endpoints.
@@ -264,16 +347,54 @@ class TaylorHoodSpace:
         nrm[flip] *= -1.0
 
         jxw = rs.fqw[None, :] * detj[:, None]
-        if dim == 3:
-            pass  # fqw sums to 1/2; detj = 2*area -> total = area (correct)
+        # (3D: fqw sums to 1/2; detj = 2*area -> total = area: correct)
+        nrm_q = np.broadcast_to(nrm[:, None, :],
+                                (n_f, rs.n_fq, dim)).copy()
+        jinv_q = None
+
+        if tag in self._snapped_tags and n_f:
+            # Curved facet map (tag was snapped onto an analytic surface):
+            # quadratic geometry from the facet's P2 nodes — per-point
+            # normals, JxW, physical points, and the owning cell's per-point
+            # inverse Jacobian for physical gradients (force integrals,
+            # ops/assembly.build_face_arrays).
+            fdim = dim - 1
+            vn = self._vertex_node[verts]                  # (n_f, dim)
+            en = [self._edge_node[self.edge_id(verts[:, i], verts[:, j])]
+                  for i, j in edges_of(fdim)]
+            fnodes = np.concatenate([vn, np.stack(en, axis=1)], axis=1)
+            FX = self.p2_coords[fnodes]                    # (n_f, n_geo, dim)
+            N = shape_values(fdim, 2, rs.fqp)              # (n_fq, n_geo)
+            dN = shape_grads(fdim, 2, rs.fqp)              # (n_fq,n_geo,fdim)
+            qp_phys = np.einsum("qa,fad->fqd", N, FX)
+            T = np.einsum("fad,qax->fqdx", FX, dN)         # tangent vectors
+            if dim == 2:
+                tq = T[..., 0]
+                detj_q = np.linalg.norm(tq, axis=-1)
+                nrm_q = (np.stack([tq[..., 1], -tq[..., 0]], axis=-1)
+                         / detj_q[..., None])
+            else:
+                cr = np.cross(T[..., 0], T[..., 1])
+                detj_q = np.linalg.norm(cr, axis=-1)
+                nrm_q = cr / detj_q[..., None]
+            flip = np.einsum("fd,fd->f", nrm_q.mean(axis=1),
+                             face_cent - cell_cent) < 0
+            nrm_q[flip] *= -1.0
+            jxw = rs.fqw[None, :] * detj_q
+            # owning cell's quadratic map evaluated at the facet points
+            Xc = self.p2_coords[self.cell_p2[cells_of].astype(np.int64)]
+            dphi_c = rs.facet_dphi_v[locals_of]    # (n_f, n_fq, n_v, dim)
+            Jc = np.einsum("fad,fqax->fqdx", Xc, dphi_c)
+            jinv_q = np.linalg.inv(Jc)
 
         return FaceData(
             cells=cells_of.astype(np.int32),
             local_facets=locals_of.astype(np.int32),
-            normals=nrm,
+            normals=nrm_q,
             jxw=jxw,
             qp_phys=qp_phys,
             phi_v=rs.facet_phi_v[locals_of],
             dphi_v_ref=rs.facet_dphi_v[locals_of],
             phi_p=rs.facet_phi_p[locals_of],
+            jinv_q=jinv_q,
         )

@@ -190,6 +190,25 @@ def _classify_box_boundary(mesh: Mesh, lx, ly, lz=None, tol=1e-9):
     return mesh
 
 
+def _circle_projector(cx, cy, r, keep_z=False):
+    """Radial projection onto the circle |p - c| = r (x/y components; a 3D
+    point keeps its z)."""
+    c = np.array([cx, cy])
+
+    def proj(p):
+        p = np.asarray(p, float)
+        v = p[:, :2] - c
+        n = np.linalg.norm(v, axis=1, keepdims=True)
+        xy = c + r * v / np.maximum(n, 1e-300)
+        if keep_z:
+            out = p.copy()
+            out[:, :2] = xy
+            return out
+        return xy
+
+    return proj
+
+
 def channel_with_cylinder_2d(h=0.02, h_near=None, lx=2.2, ly=0.41,
                              cx=0.2, cy=0.2, r=0.05, near_band=None,
                              n_rings=3, wake_levels=0, wake_len=1.2,
@@ -234,7 +253,10 @@ def channel_with_cylinder_2d(h=0.02, h_near=None, lx=2.2, ly=0.41,
 
     mesh, _ = _delaunay_mesh_2d(lx, ly, h, [circle], [hole_path], extra,
                                 dist_fn, h_near, near_band)
-    return _classify_box_boundary(mesh, lx, ly).validate()
+    mesh = _classify_box_boundary(mesh, lx, ly).validate()
+    # exact circle for superparametric P2 boundary cells (fem/spaces.py)
+    mesh.snap_projectors = {4: _circle_projector(cx, cy, r)}
+    return mesh
 
 
 def rectangle_2d(lx=1.0, ly=1.0, nx=8, ny=8):
@@ -466,4 +488,7 @@ def duct_with_cylinder_3d(h=0.05, h_near=None, lx=2.5, ly=0.41, lz=0.41,
     mesh = Mesh(3, pts, cells.astype(np.int32),
                 np.zeros((0, 3), np.int32), np.zeros((0,), np.int32))
     mesh.ensure_positive_orientation()
-    return _classify_box_boundary(mesh, lx, ly, lz).validate()
+    mesh = _classify_box_boundary(mesh, lx, ly, lz).validate()
+    # cylinder lateral surface: radial x/y projection, z preserved
+    mesh.snap_projectors = {4: _circle_projector(cx, cy, r, keep_z=True)}
+    return mesh

@@ -117,6 +117,14 @@ class Mesh:
     cells: np.ndarray           # (n_cells, dim+1) int32, vertex indices
     boundary_faces: np.ndarray  # (n_bfaces, dim) int32, vertex indices
     boundary_tags: np.ndarray   # (n_bfaces,) int32
+    # Analytic boundary projectors: {tag: fn((n, dim) pts) -> (n, dim)}.
+    # Set by the native generators for curved obstacles (circle/cylinder);
+    # consumed by TaylorHoodSpace.snap_boundaries to place P2 midside nodes
+    # on the exact surface (superparametric boundary cells).  This recovers
+    # the geometric fidelity gmsh gives the reference by resolving the
+    # circle at the local mesh size (mesh/domain2D.geo:10).  Coordinate-
+    # based, so reorder_spatial never invalidates them.
+    snap_projectors: dict | None = None
 
     @property
     def n_points(self) -> int:

@@ -165,6 +165,19 @@ class NavierStokes:
         print(f"DoFs: velocity {sp.n_velocity_dofs} + pressure "
               f"{sp.n_pressure_dofs} = {sp.n_dofs}")
 
+        # Curved (superparametric) boundary cells: snap P2 midside nodes
+        # onto the analytic obstacle surface when the mesh provides
+        # projectors.  This is the geometric-fidelity step the reference
+        # gets from gmsh resolving the circle at local h
+        # (mesh/domain2D.geo:10) — see fem/spaces.snap_boundaries.
+        proj = getattr(self.mesh, "snap_projectors", None)
+        if cfg.curved_boundary and proj:
+            snapped = sp.snap_boundaries(proj)
+            if snapped:
+                k = len(sp.curved_data().ids)
+                print(f"curved boundary: tags {snapped} snapped "
+                      f"({k} superparametric cells)")
+
         from navierstokes_tpu.ops.assembly import cell_arrays_numpy
         cells_host = cell_arrays_numpy(sp)
         self._cells_host = cells_host
@@ -175,6 +188,13 @@ class NavierStokes:
 
         # abs-lumped mass per node (host precompute; reference cpp:232-236)
         rows = np.einsum("c,a->ca", cells_host.detj, sp.rs.Mlump_hat)
+        cd = sp.curved_data()
+        if cd is not None:
+            # curved cells: per-point |phi| accumulation with detJ(xi)
+            wdet = cd.qw[None, :] * cd.detj_q
+            absrow = np.abs(cd.phi_v) * np.abs(cd.phi_v).sum(
+                axis=1, keepdims=True)                    # (n_cq, n_v)
+            rows[cd.ids] = np.einsum("kq,qa->ka", wdet, absrow)
         lm = np.zeros(sp.n_p2)
         np.add.at(lm, np.asarray(sp.cell_p2).reshape(-1), rows.reshape(-1))
         self._lumped_host = lm
@@ -360,8 +380,11 @@ class NavierStokes:
             np.linalg.inv(sc + 1e-8 * scale * np.eye(n)), self.dtype)
         d = self._ap.diag
         sdinv = jnp.where(d != 0, 1.0 / d, 1.0)
+        # the operator flows through op= (a jit ARG): closures would inline
+        # it as HLO constants and blow the tunneled compile-request limit
+        # at 3D scale (HTTP 413 at 1.74M DoF, logs/st_3d1_17M.log)
         self._ap_lam = estimate_lam_max(
-            lambda v: ell_matvec(self._ap, v), sdinv, sp.n_p1, self.dtype)
+            ell_matvec, sdinv, sp.n_p1, self.dtype, op=self._ap)
         self._bj_plan = build_block_jacobi_plan(
             self.ell, S=self.config.bj_tile_blocks)
         # Projection-scheme Poisson operator: the CONSISTENT P1 stiffness
@@ -394,15 +417,20 @@ class NavierStokes:
         dd = self._ap_dir.diag
         sdinv_d = jnp.where(dd != 0, 1.0 / dd, 1.0)
         self._ap_dir_lam = estimate_lam_max(
-            lambda v: ell_matvec(self._ap_dir, v), sdinv_d, sp.n_p1,
-            self.dtype)
+            ell_matvec, sdinv_d, sp.n_p1, self.dtype, op=self._ap_dir)
         # lumped pressure mass: row sums of Mp = detJ * measure/(dim+1)
         from navierstokes_tpu.ops.assembly import geometric_factors
         detj, _ = geometric_factors(sp)
         coeff = (0.5 / 3.0) if self.dim == 2 else (1.0 / 6.0 / 4.0)
+        mp_rows = np.repeat((detj * coeff)[:, None], sp.cell_p1.shape[1],
+                            axis=1)
+        cd = sp.curved_data()
+        if cd is not None:
+            # curved rows: int psi_i dx = sum_q w_q psi_i detJ(xi_q)
+            wdet = cd.qw[None, :] * cd.detj_q
+            mp_rows[cd.ids] = np.einsum("kq,qj->kj", wdet, cd.phi_p)
         mp = np.zeros(sp.n_p1)
-        np.add.at(mp, np.asarray(sp.cell_p1).reshape(-1),
-                  np.repeat(detj * coeff, sp.cell_p1.shape[1]))
+        np.add.at(mp, np.asarray(sp.cell_p1).reshape(-1), mp_rows.reshape(-1))
         self._mp_lumped = jnp.asarray(mp, self.dtype)
 
     def _build_static(self):
@@ -467,8 +495,9 @@ class NavierStokes:
             d = bsr_f_diag(self.ell, self.a0_cell)
             sigma0 = jnp.sum(d * mflat) / jnp.maximum(jnp.sum(mflat), 1.0)
             self._bj_x0 = jax.jit(
-                lambda f, m, s: block_jacobi_inverse(
-                    self._bj_plan, f, m, s))(self.a0_cell, mflat, sigma0)
+                lambda plan, f, m, s: block_jacobi_inverse(
+                    plan, f, m, s))(self._bj_plan, self.a0_cell, mflat,
+                                    sigma0)
         return self._bj_x0
 
     def _params(self) -> StepParams:
@@ -1031,12 +1060,15 @@ class NavierStokes:
             from navierstokes_tpu.ops.p1ell import block_jacobi_invert
             mflat = self.bc.mask[:, 0]
             sigma = jnp.asarray(1.0, self.dtype)
-            fn = jax.jit(lambda fc: block_jacobi_invert(
-                params.bj_plan, fc, mflat, sigma,
-                x0=params.bj_x0, iters=cfg.bj_newton))
-            jax.block_until_ready(fn(params.a0_cell))      # compile
+            # everything sizable rides as a jit ARG: a closed-over x0
+            # (hundreds of MB of tile seeds at 3D scale) would be inlined
+            # as HLO constants and blow the tunneled compile-size limit
+            fn = jax.jit(lambda plan, fc, m, x0: block_jacobi_invert(
+                plan, fc, m, sigma, x0=x0, iters=cfg.bj_newton))
+            args = (params.bj_plan, params.a0_cell, mflat, params.bj_x0)
+            jax.block_until_ready(fn(*args))               # compile
             t0 = _walltime.perf_counter()
-            jax.block_until_ready(fn(params.a0_cell))
+            jax.block_until_ready(fn(*args))
             return _walltime.perf_counter() - t0
         except Exception:
             return 0.0

@@ -47,6 +47,15 @@ class CellArrays:
     mass: jax.Array         # (nc, n_v, n_v) scalar mass element matrices
     stiff: jax.Array        # (nc, n_v, n_v) scalar stiffness
     grad: jax.Array         # (nc, n_v, dim, n_p) -int d_d(phi_a) psi_j
+    # Curved (boundary-snapped) cell subset — per-step convection on those
+    # cells uses per-quadrature-point quadratic geometry instead of the
+    # affine detj/jinv above (ops/operators.curved_convection_fix).  None
+    # on meshes without snapped boundaries.
+    curv_ids: object = None    # (k,) int32 curved cell ids
+    curv_nodes: object = None  # (k, n_v) int32 velocity-node rows
+    curv_phi: object = None    # (n_cq, n_v) P2 values at the curved rule
+    curv_dphys: object = None  # (k, n_cq, n_v, dim) physical gradients
+    #                            pre-scaled by w_q * detJ_q
 
 
 @jax.tree_util.register_dataclass
@@ -58,7 +67,8 @@ class FaceArrays:
     phi_v: jax.Array        # (nf, n_fq, n_v)
     dphi_phys: jax.Array    # (nf, n_fq, n_v, dim) physical gradients
     phi_p: jax.Array        # (nf, n_fq, n_p)
-    normals: jax.Array      # (nf, dim) outward unit normals
+    normals: jax.Array      # (nf, n_fq, dim) outward unit normals per quad
+    #                         point (per-point on curved/snapped faces)
     jxw: jax.Array          # (nf, n_fq)
 
 
@@ -73,8 +83,29 @@ def geometric_factors(space: TaylorHoodSpace):
     return detj, jinv
 
 
+def curved_conv_inputs(space: TaylorHoodSpace):
+    """(curv_ids, curv_nodes, curv_phi, curv_dphys) numpy inputs for the
+    per-step curved-cell convection fix, or (None,)*4 on unsnapped meshes.
+    curv_nodes are the curved cells' velocity-node rows (so the fix never
+    needs the possibly-sharded cell arrays); curv_dphys folds w_q * detJ_q
+    into the physical gradients so the per-step contraction is a plain
+    einsum (ops/operators.curved_convection_fix)."""
+    cd = space.curved_data()
+    if cd is None:
+        return None, None, None, None
+    wdet = cd.qw[None, :] * cd.detj_q                     # (k, n_cq)
+    dphys = np.einsum("kq,qax,kqxd->kqad", wdet, cd.dphi_v, cd.jinv_q)
+    nodes = np.asarray(space.cell_p2)[cd.ids].astype(np.int32)
+    return cd.ids.astype(np.int32), nodes, cd.phi_v, dphys
+
+
 def cell_arrays_numpy(space: TaylorHoodSpace) -> CellArrays:
-    """Host (numpy, float64) per-cell arrays — the preprocessing product."""
+    """Host (numpy, float64) per-cell arrays — the preprocessing product.
+
+    Cells touched by snapped (curved) boundaries get their static element
+    matrices replaced by quadratic-map quadrature versions; the stored
+    per-cell detj/jinv stay the affine values (used only as the curved
+    cells' convection fallback on paths without the curved fix)."""
     rs = space.rs
     detj, jinv = geometric_factors(space)
 
@@ -84,6 +115,14 @@ def cell_arrays_numpy(space: TaylorHoodSpace) -> CellArrays:
     mass = detj[:, None, None] * rs.M_hat[None, :, :]
     # G[c,a,d,j] = -detJ * G_hat[a,x,j] Jinv[c,x,d]
     grad = -np.einsum("axj,cxd,c->cadj", rs.G_hat, jinv, detj)
+
+    cd = space.curved_data()
+    if cd is not None:
+        wdet = cd.qw[None, :] * cd.detj_q                 # (k, n_cq)
+        dphys = np.einsum("qax,kqxd->kqad", cd.dphi_v, cd.jinv_q)
+        mass[cd.ids] = np.einsum("kq,qa,qb->kab", wdet, cd.phi_v, cd.phi_v)
+        stiff[cd.ids] = np.einsum("kq,kqad,kqbd->kab", wdet, dphys, dphys)
+        grad[cd.ids] = -np.einsum("kq,kqad,qj->kadj", wdet, dphys, cd.phi_p)
     return CellArrays(cell_p2=space.cell_p2, cell_p1=space.cell_p1,
                       detj=detj, jinv=jinv, mass=mass, stiff=stiff,
                       grad=grad)
@@ -93,11 +132,16 @@ def build_cell_arrays(space: TaylorHoodSpace, dtype=jnp.float32,
                       host: CellArrays | None = None) -> CellArrays:
     c = host or cell_arrays_numpy(space)
     f = lambda x: jnp.asarray(x, dtype=dtype)
+    ci, cn, cp, cg = curved_conv_inputs(space)
     return CellArrays(
         cell_p2=jnp.asarray(np.asarray(c.cell_p2)),
         cell_p1=jnp.asarray(np.asarray(c.cell_p1)),
         detj=f(c.detj), jinv=f(c.jinv), mass=f(c.mass), stiff=f(c.stiff),
         grad=f(c.grad),
+        curv_ids=None if ci is None else jnp.asarray(ci),
+        curv_nodes=None if ci is None else jnp.asarray(cn),
+        curv_phi=None if ci is None else f(cp),
+        curv_dphys=None if ci is None else f(cg),
     )
 
 
@@ -128,9 +172,13 @@ def forcing_rhs(space: TaylorHoodSpace, f_fn, t: float = 0.0) -> np.ndarray:
 def build_face_arrays(space: TaylorHoodSpace, tag: int,
                       dtype=jnp.float32) -> FaceArrays:
     fd: FaceData = space.face_data(tag)
-    _, jinv = geometric_factors(space)
-    jinv_f = jinv[fd.cells]                                  # (nf, dim, dim)
-    dphi_phys = np.einsum("fqbx,fxd->fqbd", fd.dphi_v_ref, jinv_f)
+    if fd.jinv_q is not None:
+        # curved owning cells: per-quad-point inverse Jacobians
+        dphi_phys = np.einsum("fqbx,fqxd->fqbd", fd.dphi_v_ref, fd.jinv_q)
+    else:
+        _, jinv = geometric_factors(space)
+        jinv_f = jinv[fd.cells]                              # (nf, dim, dim)
+        dphi_phys = np.einsum("fqbx,fxd->fqbd", fd.dphi_v_ref, jinv_f)
     f = lambda x: jnp.asarray(x, dtype=dtype)
     return FaceArrays(
         vel_nodes=jnp.asarray(space.cell_p2[fd.cells]),

@@ -101,6 +101,12 @@ class BsrData:
     bp: int = dataclasses.field(metadata=_static)
     n_vb: int = dataclasses.field(metadata=_static, default=0)  # physical
     # block rows (0 => f_cols.shape[0], i.e. no overflow split)
+    # curved (boundary-snapped) cell subset for the per-step convection fix
+    # (see ops/assembly.CellArrays.curv_* and operators.convection_matrices)
+    curv_ids: object = None      # (k,) int32
+    curv_nodes: object = None    # (k, n_v) int32
+    curv_phi: object = None      # (n_cq, n_v)
+    curv_dphys: object = None    # (k, n_cq, n_v, dim), w*detJ folded
 
 
 def _block_pairs(rows, cols, bu, bv, n_rb):
@@ -339,7 +345,13 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
             [a, np.zeros((n_extra,) + a.shape[1:], a.dtype)], axis=0)
 
     f = lambda x: jnp.asarray(x, dtype)
+    from navierstokes_tpu.ops.assembly import curved_conv_inputs
+    ci, cn, cphi, cdphys = curved_conv_inputs(space)
     out = BsrData(
+        curv_ids=None if ci is None else jnp.asarray(ci),
+        curv_nodes=None if ci is None else jnp.asarray(cn),
+        curv_phi=None if ci is None else f(cphi),
+        curv_dphys=None if ci is None else f(cdphys),
         cell_p2=jnp.asarray(pad_cells(space.cell_p2, nc_pad)),
         detj=f(pad_cells(cells.detj, nc_pad)),
         jinv=f(pad_cells(cells.jinv, nc_pad)),

@@ -60,6 +60,11 @@ class EllData:
     g_vals: jax.Array        # (n_p2, Kg, dim)
     b_cols: jax.Array        # (n_p1, Kb) int32 (cols are velocity nodes)
     b_vals: jax.Array        # (n_p1, Kb, dim)
+    # curved (boundary-snapped) cell subset for the per-step convection fix
+    curv_ids: object = None
+    curv_nodes: object = None
+    curv_phi: object = None
+    curv_dphys: object = None
 
 
 def _ragged_to_ell(rows, cols, n_rows, pad_col=0):
@@ -154,7 +159,13 @@ def build_ell(space: TaylorHoodSpace, cells: CellArrays,
     b_vals = b_vals.reshape(n_p1, Kb, dim)
 
     f = lambda x: jnp.asarray(x, dtype)
+    from navierstokes_tpu.ops.assembly import curved_conv_inputs
+    ci, cn, cphi, cdphys = curved_conv_inputs(space)
     return EllData(
+        curv_ids=None if ci is None else jnp.asarray(ci),
+        curv_nodes=None if ci is None else jnp.asarray(cn),
+        curv_phi=None if ci is None else f(cphi),
+        curv_dphys=None if ci is None else f(cdphys),
         cell_p2=jnp.asarray(space.cell_p2),
         detj=f(cells.detj), jinv=f(cells.jinv),
         t_hat=f(rs.T_hat),
@@ -191,6 +202,10 @@ class _CellView:
         self.cell_p2 = ell.cell_p2
         self.jinv = ell.jinv
         self.detj = ell.detj
+        self.curv_ids = ell.curv_ids
+        self.curv_nodes = ell.curv_nodes
+        self.curv_phi = ell.curv_phi
+        self.curv_dphys = ell.curv_dphys
 
 
 def apply_f(ell: EllData, f_vals: jax.Array, xu: jax.Array) -> jax.Array:

@@ -48,20 +48,21 @@ def drag_lift(faces: FaceArrays, u, p, nu, formula: str = "reference"):
     grad_u = jnp.einsum("fia,fqib->fqab", u_f, faces.dphi_phys)
     p_q = jnp.einsum("fj,fqj->fq", p_f, faces.phi_p)   # (nf, n_fq)
 
-    n = faces.normals                                   # (nf, dim)
-    dim = n.shape[1]
+    n = faces.normals                                   # (nf, n_fq, dim)
+    dim = n.shape[-1]
     if dim == 2:
-        t = jnp.stack([n[:, 1], -n[:, 0]], axis=1)
+        t = jnp.stack([n[..., 1], -n[..., 0]], axis=-1)
     else:
-        t = jnp.stack([n[:, 1], -n[:, 0], jnp.zeros_like(n[:, 0])], axis=1)
+        t = jnp.stack([n[..., 1], -n[..., 0], jnp.zeros_like(n[..., 0])],
+                      axis=-1)
 
     if formula == "st":
-        ngt = jnp.einsum("fa,fqab,fb->fq", t, grad_u, n)  # t . grad(u) . n
+        ngt = jnp.einsum("fqa,fqab,fqb->fq", t, grad_u, n)  # t . grad(u) . n
     else:
-        ngt = jnp.einsum("fa,fqab,fb->fq", n, grad_u, t)  # n . grad(u) . t
+        ngt = jnp.einsum("fqa,fqab,fqb->fq", n, grad_u, t)  # n . grad(u) . t
     jxw = faces.jxw
-    nx = n[:, 0][:, None]
-    ny = n[:, 1][:, None]
+    nx = n[..., 0]                                      # (nf, n_fq)
+    ny = n[..., 1]
 
     drag = jnp.sum((nu * ngt * ny - p_q * nx) * jxw)
     lift = -jnp.sum((nu * ngt * nx + p_q * ny) * jxw)
@@ -87,7 +88,7 @@ def force_coefficients(drag, lift, u_mean, ref_length, dim, span_3d=0.41):
 def neumann_rhs(faces: FaceArrays, p_out, scat_v):
     """Outflow Neumann RHS contribution: -p_out * int_{Gamma_out} (n . v)
     (reference: src/NavierStokes.cpp:257-278).  Returns (n_p2, dim)."""
-    # r[f,a,d] = -p_out * sum_q jxw[f,q] phi_v[f,q,a] n[f,d]
-    r = -p_out * jnp.einsum("fq,fqa,fd->fad", faces.jxw, faces.phi_v,
+    # r[f,a,d] = -p_out * sum_q jxw[f,q] phi_v[f,q,a] n[f,q,d]
+    r = -p_out * jnp.einsum("fq,fqa,fqd->fad", faces.jxw, faces.phi_v,
                             faces.normals)
     return scat_v(r.reshape(-1, r.shape[-1]))

@@ -59,6 +59,12 @@ def convection_matrices(cells: CellArrays, t_hat: jax.Array,
     c_ab = int phi_a ((u_old . grad) phi_b)  — the reference's T1 form
     (src/NavierStokes.cpp:204-208), evaluated as a contraction of the fixed
     reference tensor T_hat[a,b,x,e] with per-cell J^-1 u values.
+
+    When the mesh has snapped (curved) boundary cells, their rows are
+    replaced by the quadratic-geometry quadrature version using the
+    precomputed per-point physical gradients (curv_* fields; see
+    ops/assembly.curved_conv_inputs) — a tiny batch (the obstacle boundary
+    layer) on top of the affine bulk.
     """
     nv = cells.cell_p2.shape[1]
     u_c = jnp.take(u, cells.cell_p2, axis=0, mode="clip")          # (nc, n_v, dim)
@@ -71,7 +77,25 @@ def convection_matrices(cells: CellArrays, t_hat: jax.Array,
     c = jax.lax.dot_general(w.reshape(-1, dim * nv), tm,
                             (((1,), (0,)), ((), ())),
                             preferred_element_type=w.dtype)
-    return c.reshape(-1, nv, nv)
+    return curved_convection_fix(cells, c.reshape(-1, nv, nv), u)
+
+
+def curved_convection_fix(cells, c_elem: jax.Array,
+                          u: jax.Array) -> jax.Array:
+    """Replace the curved (boundary-snapped) cells' rows of the per-cell
+    convection matrices with the quadratic-geometry quadrature version:
+    c_ab = sum_q (w detJ)_q phi_a(q) u_d(q) (dphi_b/dx_d)(q).  No-op when
+    the mesh has no snapped boundaries.  Separated from
+    ``convection_matrices`` so the shard_map cells path can apply it on the
+    replicated data outside the sharded region (parallel/sharded_ops)."""
+    ids = getattr(cells, "curv_ids", None)
+    if ids is None:
+        return c_elem
+    u_k = jnp.take(u, cells.curv_nodes, axis=0)            # (k, n_v, dim)
+    u_q = jnp.einsum("qe,ked->kqd", cells.curv_phi, u_k)   # u at q
+    c_k = jnp.einsum("qa,kqd,kqbd->kab", cells.curv_phi, u_q,
+                     cells.curv_dphys)
+    return c_elem.at[ids].set(c_k.astype(c_elem.dtype))
 
 
 def apply_blocks(cells: CellArrays, f_cell: jax.Array,

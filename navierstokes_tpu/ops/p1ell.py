@@ -162,6 +162,12 @@ def assemble_p1_stiffness(space, cells_host, dtype, b=16,
         meas = 1.0 / 6.0
     gp = np.einsum("ax,cxd->cad", gref, jinv)        # physical gradients
     ke = np.einsum("cad,cbd,c->cab", gp, gp, detj * meas)
+    cd = space.curved_data() if hasattr(space, "curved_data") else None
+    if cd is not None:
+        # boundary-snapped (curved) cells: per-point quadratic geometry
+        wdet = cd.qw[None, :] * cd.detj_q
+        gp_k = np.einsum("ax,kqxd->kqad", gref, cd.jinv_q)
+        ke[cd.ids] = np.einsum("kq,kqad,kqbd->kab", wdet, gp_k, gp_k)
     cp1 = np.asarray(space.cell_p1, np.int64)
     npp = cp1.shape[1]
     rows = np.repeat(cp1, npp, axis=1).ravel()
@@ -206,10 +212,17 @@ def coarse_from_ell(m: EllBlocked, agg_blocks: int):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BlockJacobiPlan:
-    """Static gather plan: BSR pair slots -> (n_tiles, S, S, bu, bu) tile
-    diagonals.  ``idx`` indexes the flattened (n_vb*KB + 1) pair array;
-    missing pairs point at the trailing zero block."""
-    idx: jax.Array      # (n_tiles, S, S) int32
+    """Static gather plan: BSR pair slots -> (n_tiles, S*bu, S*bu) tile
+    diagonals.  ``idx[t, s, s']`` is the FLAT element index of
+    f_blk[v, 0, k*bu] for the (v, k) slot holding tile t's (s, s') block —
+    the tile build then gathers scalars at idx + i*C + j, which produces
+    the (n_tiles, S*bu, S*bu) result directly with a 128-multiple minor
+    axis.  (The previous formulation reshaped f_blk into (n*K, bu, bu)
+    blocks first; XLA lane-pads every (..., 16) minor 8x on TPU — measured
+    2 x 7.98 GB of padding HBM at a 1.8M-DoF 3D setup, the OOM wall.)
+    Missing pairs point at a trailing bu*C zero row appended by the
+    consumer."""
+    idx: jax.Array      # (n_tiles, S, S) int32 flat base indices
     n_tiles: int = dataclasses.field(metadata=_static)
     S: int = dataclasses.field(metadata=_static)   # block-rows per tile
     bu: int = dataclasses.field(metadata=_static)
@@ -232,7 +245,15 @@ def build_block_jacobi_plan(bsr, S: int = 8) -> BlockJacobiPlan:
     if n_vb_ext > n_vb:
         row_phys[n_vb:] = ovf
     n_tiles = -(-n_vb // S)
-    idx = np.full((n_tiles, S, S), n_vb_ext * KB, np.int64)  # zero blk
+    bu = bsr.bu
+    C = KB * bu
+    # base = flat index of f_blk[v, 0, k*bu]; missing pairs -> the zero
+    # bu*C row the tile build appends after the n_vb_ext*bu*C real values
+    zero_base = n_vb_ext * bu * C
+    if zero_base + bu * C >= 2 ** 31:
+        raise ValueError("block-Jacobi flat indices exceed int32 range "
+                         f"(n_vb_ext={n_vb_ext}, C={C}); shard the operator")
+    idx = np.full((n_tiles, S, S), zero_base, np.int64)
     r = np.repeat(row_phys, KB)
     v = np.repeat(np.arange(n_vb_ext), KB)
     k = np.tile(np.arange(KB), n_vb_ext)
@@ -245,7 +266,7 @@ def build_block_jacobi_plan(bsr, S: int = 8) -> BlockJacobiPlan:
     order = np.lexsort((-k, -v))
     r, v, k = r[order], v[order], k[order]
     c = c[order]
-    idx[r // S, r % S, c % S] = v * KB + k
+    idx[r // S, r % S, c % S] = (v * bu * KB + k) * bu
     return BlockJacobiPlan(idx=jnp.asarray(idx.astype(np.int32)),
                            n_tiles=n_tiles, S=S, bu=bsr.bu, n_p2=bsr.n_p2)
 
@@ -256,21 +277,26 @@ def block_jacobi_tiles(plan: BlockJacobiPlan, f_blk, mask_flat, sigma):
     f_blk: flat row-major (n_vb_ext, bu, KB*bu) — see ops/bsr.BsrData;
     mask_flat: (n_p2,) 1=interior 0=Dirichlet.
     The masked operator is  M F M + sigma (I - M); tiles are built
-    accordingly so the inverse is exact on constrained rows."""
+    accordingly so the inverse is exact on constrained rows.
+
+    The gather runs on the FLAT value vector with scalar indices
+    idx + i*C + j, landing directly in the (n_tiles, S*bu, S*bu) layout —
+    every intermediate keeps a 128-multiple minor axis.  Any formulation
+    that materializes (..., bu, bu) blocks gets 8x lane-padded by XLA's
+    TPU tiling (measured: 2 x 7.98 GB padding HBM at 1.8M DoF in 3D)."""
     n_vb, bu, C = f_blk.shape
-    KB = C // bu
-    blocks = f_blk.reshape(n_vb, bu, KB, bu).transpose(0, 2, 1, 3)
-    flat = jnp.concatenate(
-        [blocks.reshape(n_vb * KB, bu, bu),
-         jnp.zeros((1, bu, bu), f_blk.dtype)], axis=0)
-    tiles = jnp.take(flat, plan.idx, axis=0, mode="clip")      # (n_tiles, S, S, bu, bu)
-    n = plan.n_tiles * plan.S * bu
-    t = jnp.transpose(tiles, (0, 1, 3, 2, 4)).reshape(
-        plan.n_tiles, plan.S * bu, plan.S * bu)
-    m = jnp.pad(mask_flat, (0, n - plan.n_p2)).reshape(
-        plan.n_tiles, plan.S * bu)
+    SB = plan.S * bu
+    f_flat = jnp.concatenate(
+        [f_blk.reshape(-1), jnp.zeros(bu * C, f_blk.dtype)])
+    off = (jnp.arange(bu, dtype=jnp.int32) * C)[:, None] \
+        + jnp.arange(bu, dtype=jnp.int32)[None, :]             # (bu, bu)
+    idx = (plan.idx[:, :, None, :, None]                       # (t,S,1,S,1)
+           + off[None, None, :, None, :])                      # (t,S,bu,S,bu)
+    t = jnp.take(f_flat, idx.reshape(plan.n_tiles, SB, SB), mode="clip")
+    n = plan.n_tiles * SB
+    m = jnp.pad(mask_flat, (0, n - plan.n_p2)).reshape(plan.n_tiles, SB)
     t = t * m[:, :, None] * m[:, None, :]
-    eye = jnp.eye(plan.S * bu, dtype=t.dtype)
+    eye = jnp.eye(SB, dtype=t.dtype)
     t = t + (sigma * (1.0 - m))[:, :, None] * eye[None]
     # pad rows (beyond n_p2) have zero mask -> sigma on the diagonal: ok
     return t.astype(jnp.float32)

@@ -25,7 +25,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from navierstokes_tpu.ops.assembly import CellArrays
 from navierstokes_tpu.ops.operators import (Scatter, apply_blocks,
-                                            convection_matrices, f_diag,
+                                            convection_matrices,
+                                            curved_convection_fix, f_diag,
                                             mass_apply, schur_diag)
 
 AXIS = "cells"
@@ -59,6 +60,12 @@ def shard_problem(cells: CellArrays, space, mesh: jax.sharding.Mesh,
         detj=pad0(cells.detj), jinv=pad0(cells.jinv),
         mass=pad0(cells.mass), stiff=pad0(cells.stiff),
         grad=pad0(cells.grad))
+    # curved-cell convection data rides REPLICATED (tiny — the obstacle
+    # boundary layer); ShardedOps.convection applies the fix outside the
+    # sharded region, where ids address the global cell axis
+    curv = jax.tree.map(np.asarray,
+                        (cells.curv_ids, cells.curv_nodes,
+                         cells.curv_phi, cells.curv_dphys))
 
     # per-shard scatter plans (local flat index -> global node id)
     def stacked_scatter(ids, num_segments):
@@ -79,6 +86,11 @@ def shard_problem(cells: CellArrays, space, mesh: jax.sharding.Mesh,
     shard = NamedSharding(mesh, P(AXIS))
     put = lambda a: jax.device_put(jnp.asarray(a), shard)
     cells_sh = jax.tree.map(put, padded)
+    if curv[0] is not None:
+        rep = NamedSharding(mesh, P())
+        ci, cn, cp, cg = (jax.device_put(jnp.asarray(a), rep) for a in curv)
+        cells_sh = dataclasses.replace(cells_sh, curv_ids=ci, curv_nodes=cn,
+                                       curv_phi=cp, curv_dphys=cg)
     scat_v = Scatter(put(scat_v.order), put(scat_v.sorted_ids),
                      scat_v.num_segments)
     scat_p = Scatter(put(scat_p.order), put(scat_p.sorted_ids),
@@ -90,6 +102,15 @@ def _local(scat: Scatter) -> Scatter:
     """Inside shard_map: (1, n) stacked rows -> this shard's plan."""
     return Scatter(order=scat.order[0], sorted_ids=scat.sorted_ids[0],
                    num_segments=scat.num_segments)
+
+
+def _bare(cells: CellArrays) -> CellArrays:
+    """Drop the replicated curved-cell leaves: the shard_map regions see
+    only local cells, so the blanket P(AXIS) spec must not touch them."""
+    if cells.curv_ids is None:
+        return cells
+    return dataclasses.replace(cells, curv_ids=None, curv_nodes=None,
+                               curv_phi=None, curv_dphys=None)
 
 
 class ShardedOps:
@@ -105,11 +126,14 @@ class ShardedOps:
                              out_specs=out_specs, check_vma=False)
 
     def convection(self, params, u):
+        # affine bulk sharded; the (global-cell-indexed) curved fix runs on
+        # the replicated data outside the sharded region
         def f(cells, t_hat, u):
             return convection_matrices(cells, t_hat, u)
 
-        return self._smap(f, (P(AXIS), P(), P()), P(AXIS))(
-            params.cells, params.t_hat, u)
+        c = self._smap(f, (P(AXIS), P(), P()), P(AXIS))(
+            _bare(params.cells), params.t_hat, u)
+        return curved_convection_fix(params.cells, c, u)
 
     def apply_blocks(self, params, f_cell, xu, xp, with_f=True, with_g=True,
                      with_gt=True):
@@ -121,28 +145,29 @@ class ShardedOps:
 
         return self._smap(f, (P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P()),
                           (P(), P()))(
-            params.cells, f_cell, params.scat_v, params.scat_p, xu, xp)
+            _bare(params.cells), f_cell, params.scat_v, params.scat_p,
+            xu, xp)
 
     def f_diag(self, params, f_cell):
         def f(cells, fc, sv):
             return jax.lax.psum(f_diag(cells, fc, _local(sv)), AXIS)
 
         return self._smap(f, (P(AXIS), P(AXIS), P(AXIS)), P())(
-            params.cells, f_cell, params.scat_v)
+            _bare(params.cells), f_cell, params.scat_v)
 
     def mass_apply(self, params, u):
         def f(cells, sv, u):
             return jax.lax.psum(mass_apply(cells, _local(sv), u), AXIS)
 
         return self._smap(f, (P(AXIS), P(AXIS), P()), P())(
-            params.cells, params.scat_v, u)
+            _bare(params.cells), params.scat_v, u)
 
     def schur_diag(self, params, node_weights):
         def f(cells, sp, w):
             return jax.lax.psum(schur_diag(cells, w, _local(sp)), AXIS)
 
         return self._smap(f, (P(AXIS), P(AXIS), P()), P())(
-            params.cells, params.scat_p, node_weights)
+            _bare(params.cells), params.scat_p, node_weights)
 
 
 class SingleDeviceOps:

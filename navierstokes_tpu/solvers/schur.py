@@ -117,26 +117,37 @@ def make_two_level(apply_s, diag_s, plan: CoarsePlan, sc_inv: jax.Array,
     return precond
 
 
-def estimate_lam_max(apply_s, sdinv, n: int, dtype, iters: int = 8):
+def estimate_lam_max(apply_s, sdinv, n: int, dtype, iters: int = 8,
+                     op=None):
     """Power-iteration estimate of lambda_max(D^-1 S) (x1.05 safety).
 
     The whole estimate runs as ONE jitted XLA program: evaluated eagerly
     it is ~15 individually dispatched ops whose latency dominates setup
-    on a tunneled TPU (profiled 420 s of a 988 s setup at 1M DoF)."""
+    on a tunneled TPU (profiled 420 s of a 988 s setup at 1M DoF).
+
+    ``op``: optional operator pytree, passed as ``apply_s(op, v)``.  Large
+    operators MUST flow through ``op`` rather than a closure: closed-over
+    device arrays are inlined as HLO constants, and on a tunneled TPU the
+    serialized compile request then exceeds the transport's size limit
+    (measured: HTTP 413 at a 1.74M-DoF 3D setup whose pressure operator is
+    ~100 MB).  Closures remain fine for small operands and for calls made
+    inside an outer trace (where captures are tracers, not constants)."""
 
     @jax.jit
-    def run(sdinv):
+    def run(op, sdinv):
+        apply = (lambda v: apply_s(op, v)) if op is not None \
+            else apply_s
         # deterministic pseudo-random start (no RNG inside jit-able setup)
         v = jnp.sin(jnp.arange(n, dtype=dtype) * 12.9898 + 0.5) + 0.01
 
         def body(_, v):
-            w = sdinv * apply_s(v)
+            w = sdinv * apply(v)
             return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
 
         v = jax.lax.fori_loop(0, iters, body, v)
-        return jnp.linalg.norm(sdinv * apply_s(v))
+        return jnp.linalg.norm(sdinv * apply(v))
 
-    return run(sdinv) * 1.05
+    return run(op, sdinv) * 1.05
 
 
 def chebyshev(apply_s, sdinv, lam_max, r, k: int, ratio: float = 6.0):

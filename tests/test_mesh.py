@@ -106,7 +106,7 @@ def test_taylor_hood_space(dim):
     np.testing.assert_allclose(sp.p2_coords[nodes][:, 0], 0.0, atol=1e-12)
     # face data: obstacle-free box, outlet faces have outward normal +x
     fd = sp.face_data(1)
-    np.testing.assert_allclose(fd.normals[:, 0], 1.0, atol=1e-12)
+    np.testing.assert_allclose(fd.normals[..., 0], 1.0, atol=1e-12)
     # total outlet measure
     measure = 1.0 if dim == 2 else 1.0
     np.testing.assert_allclose(fd.jxw.sum(), measure, atol=1e-12)

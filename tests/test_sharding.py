@@ -17,13 +17,13 @@ pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 (virtual) devices")
 
 
-def _run(mesh, tmp, n_devices, operator):
+def _run(mesh, tmp, n_devices, operator, **cfg_kw):
     inlet = InletConfig(kind="parabolic", u_m=0.3, height=0.41)
     cfg = SolverConfig(dtype="float64", n_devices=n_devices,
                        operator=operator,
                        output_dir=f"{tmp}/out{n_devices}",
                        cache_dir=f"{tmp}/cache{n_devices}",
-                       csv_path=f"{tmp}/forces{n_devices}.csv")
+                       csv_path=f"{tmp}/forces{n_devices}.csv", **cfg_kw)
     ns = NavierStokes(mesh, 2, 1, deltat=0.01, T=0.02, step=2, inlet=inlet,
                       config=cfg)
     ns.set_re_number(20)
@@ -79,5 +79,26 @@ def test_gspmd_bsr_matches_single(tmp_path):
     assert len(shardings) == 8
     # both runs converge to the outer tolerance (1e-6*||b||), not to
     # machine precision — psum reassociation moves the iterates within it
+    np.testing.assert_allclose(u8, u1, atol=2e-4)
+    np.testing.assert_allclose(p8, p1, atol=2e-3)
+
+
+def test_gspmd_projection_matches_single(tmp_path):
+    """The HEADLINE scheme (rotational pressure-correction, BDF2, BSR
+    operator, block-Jacobi F preconditioner + V-cycle Poisson) sharded
+    over 8 devices via GSPMD reproduces the single-device run — the
+    configuration that produces the benchmark number has multi-device
+    coverage, not just the monolithic parity path."""
+    mesh = channel_with_cylinder_2d(h=0.1, h_near=0.04)
+    u1, p1, ns1 = _run(mesh, str(tmp_path) + "p", 1, "bsr",
+                       scheme="projection")
+    u8, p8, ns8 = _run(mesh, str(tmp_path) + "p", 8, "bsr",
+                       scheme="projection")
+    assert ns8._operator == "bsr"
+    assert ns8.shard_mesh is not None and ns8.shard_mesh.devices.size == 8
+    shardings = {str(d) for d in ns8.ell.g_blk.sharding.device_set}
+    assert len(shardings) == 8
+    # projection solves to proj_tol (1e-6 relative per sub-solve); psum
+    # reassociation keeps the iterates within that band
     np.testing.assert_allclose(u8, u1, atol=2e-4)
     np.testing.assert_allclose(p8, p1, atol=2e-3)
