@@ -133,6 +133,32 @@ def main():
         f"Cd={float(ms.cd[-1]):.4f} Cl={float(ms.cl[-1]):.4f} "
         f"res={float(ms.residual[-1]):.1e}")
 
+    # Roofline accounting: XLA cost analysis of the measured step program.
+    # The step is HBM-bandwidth bound (SpMV-shaped), so the interesting
+    # number is achieved bytes/s as a fraction of the v5e HBM peak
+    # (~819 GB/s) — the remaining-headroom statement.  "bytes accessed" is
+    # the post-optimization HLO estimate (per-op accesses after fusion).
+    flops_per_step = bytes_per_step = hbm_frac = mxu_frac = None
+    try:
+        from navierstokes_tpu.utils.profiling import flop_estimate
+        cost = flop_estimate(run, params, u, p, up, phi, t)
+        flops_per_step = cost.get("flops")
+        bytes_per_step = cost.get("bytes accessed")
+        V5E_HBM_BYTES_PER_S = 819e9
+        V5E_PEAK_FLOPS_BF16 = 394e12   # MXU bf16; fp32 VPU is far lower
+        if bytes_per_step:
+            hbm_frac = bytes_per_step * steps_per_sec / V5E_HBM_BYTES_PER_S
+        if flops_per_step:
+            mxu_frac = (flops_per_step * steps_per_sec
+                        / V5E_PEAK_FLOPS_BF16)
+        log(f"roofline: {flops_per_step:.3g} flops/step, "
+            f"{bytes_per_step:.3g} bytes/step -> achieved "
+            f"{bytes_per_step * steps_per_sec / 1e9:.0f} GB/s = "
+            f"{100 * hbm_frac:.0f}% of v5e HBM peak "
+            f"(MXU-peak fraction {100 * mxu_frac:.2f}%)")
+    except Exception as e:  # never fail the headline on the side metric
+        log(f"roofline cost analysis unavailable: {e}")
+
     # reference-parity monolithic path, for the record (stderr only)
     try:
         ns.config.scheme = "monolithic"
@@ -153,14 +179,20 @@ def main():
     except Exception as e:  # never fail the headline on the side metric
         log(f"monolithic side-measurement failed: {e}")
 
-    print(json.dumps({
+    out = {
         "metric": f"timesteps/sec, 2D cylinder Re=100, {n_dofs} DoF, fp32, "
                   "1 chip",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / DEALII_BASELINE_STEPS_PER_SEC,
                              2),
-    }))
+    }
+    if hbm_frac is not None:
+        out.update(flops_per_step=flops_per_step,
+                   bytes_per_step=bytes_per_step,
+                   hbm_frac=round(hbm_frac, 4),
+                   mxu_frac=round(mxu_frac, 6) if mxu_frac else None)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

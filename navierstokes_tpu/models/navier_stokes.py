@@ -649,6 +649,14 @@ class NavierStokes:
         solve_ap = make_vcycle_solver(
             apply_ap, ap_op.diag, self._coarse_plan, sc_inv,
             n_cycles=1, smooth_k=cfg.schur_smooth_k, lam_max=lam)
+        if not pinned:
+            # all-Neumann operator (closed domain): keep the preconditioner
+            # output mean-free, or the (regularized-singular) coarse inverse
+            # injects the constant nullspace into CG's search directions and
+            # p.Ap -> 0 blows the iteration up (measured: NaN at step 1 on a
+            # closed box)
+            _solve0 = solve_ap
+            solve_ap = lambda r: (lambda z: z - jnp.mean(z))(_solve0(r))
         div_star = apply_B_raw(u_star)
         rhs_p = div_star / dt_eff
         if pinned:

@@ -66,3 +66,72 @@ def test_stokes_convergence_orders():
     # P2 velocity: order 3; P1 pressure: order 2 (allow slack on coarse)
     assert rate_u1 > 2.5 and rate_u2 > 2.5, (eu, rate_u1, rate_u2)
     assert rate_p1 > 1.5 and rate_p2 > 1.5, (ep, rate_p1, rate_p2)
+
+
+def test_projection_bdf2_temporal_order():
+    """Observed temporal order of the headline scheme (BDF2 rotational
+    pressure-correction with extrapolated convection) against an ANALYTIC
+    time-dependent solution, so the measured error is purely temporal:
+
+        u(x, y, t) = g(t) * 4 U y (H - y) / H^2 * e_x,   p = 0,
+        f = g'(t) U(y) e_x + 8 nu U g(t) / H^2 e_x
+
+    (time-ramped Poiseuille; (u.grad)u = 0 exactly, the natural outflow
+    condition is satisfied exactly, and the parabolic profile is in the P2
+    space so the spatial error is zero to quadrature precision).  Halving
+    dt must contract the final-time error at O(dt^2): observed order
+    >= 1.8.  This automates the dt-scaling evidence in VALIDATION.md
+    (Cl_max 1.118 -> 1.019 under dt halving).
+
+    NOTE: dt-halving on the OPEN cylinder benchmark shows ~O(dt^1.5) in
+    the velocity-difference norm — the known pressure boundary-layer
+    error of incremental pressure-correction at open boundaries (the
+    phi=0 outlet pin), not an integrator defect; this test isolates the
+    integrator."""
+    import jax.numpy as jnp
+
+    from navierstokes_tpu.config import InletConfig, SolverConfig
+    from navierstokes_tpu.models.navier_stokes import NavierStokes
+
+    H, NU, UM, R, T = 0.41, 0.01, 1.0, 0.4, 0.4
+
+    def g(t):
+        return np.where(t >= R, 1.0, 0.5 - 0.5 * np.cos(np.pi * t / R))
+
+    def u_profile(y):
+        return 4.0 * UM * y * (H - y) / H ** 2
+
+    def forcing(x, t):
+        y = x[:, 1]
+        gj = jnp.where(t >= R, 1.0, 0.5 - 0.5 * jnp.cos(jnp.pi * t / R))
+        gpj = jnp.where(t >= R, 0.0,
+                        0.5 * jnp.pi / R * jnp.sin(jnp.pi * t / R))
+        fx = gpj * 4.0 * UM * y * (H - y) / H ** 2 \
+            + 8.0 * NU * UM / H ** 2 * gj
+        return jnp.stack([fx, jnp.zeros_like(fx)], axis=1)
+
+    def final_error(dt):
+        mesh = rectangle_2d(1.0, H, 8, 6)
+        inlet = InletConfig(kind="parabolic", u_m=UM, height=H, ramp=R)
+        cfg = SolverConfig(dtype="float64", nu=NU, ref_length=0.1,
+                           scheme="projection", proj_bdf2=True,
+                           proj_tol=1e-12, proj_f_maxiter=500,
+                           proj_p_maxiter=400,
+                           output_dir="/tmp/tconv/o",
+                           cache_dir="/tmp/tconv/c",
+                           csv_path="/tmp/tconv/f.csv")
+        ns = NavierStokes(mesh, 2, 1, deltat=dt, T=T, step=0, inlet=inlet,
+                          config=cfg, forcing=forcing)
+        ns.setup()
+        ns._init_state(0)
+        for _ in range(int(round(T / dt))):
+            ns.solve_time_step()
+        sp = ns.space
+        ue = np.zeros((sp.n_p2, 2))
+        ue[:, 0] = g(T) * u_profile(sp.p2_coords[:, 1])
+        return np.linalg.norm(np.asarray(ns._u) - ue)
+
+    errs = [final_error(dt) for dt in (0.04, 0.02, 0.01)]
+    r1 = np.log2(errs[0] / errs[1])
+    r2 = np.log2(errs[1] / errs[2])
+    assert r1 > 1.8 and r2 > 1.8, (errs, r1, r2)
