@@ -308,6 +308,23 @@ class NavierStokes:
         self._build_static()
         self._chunks = {}
         self._is_setup = True
+
+        # CFL guardrail: the BDF2 projection variant is documented unstable
+        # at CFL >~ 2 (config.py proj_bdf2 notes).  Estimate the advective
+        # CFL from the inlet scale and the smallest cell and warn loudly —
+        # the monolithic scheme and proj_bdf2=False remain robust there.
+        if cfg.scheme == "projection" and cfg.proj_bdf2:
+            vols = np.abs(self.mesh.cell_volumes())
+            h_min = float((vols.min() * (2.0 if self.dim == 2 else 6.0))
+                          ** (1.0 / self.dim))
+            u_scale = max(abs(self.inlet.u_m), 1e-30)
+            cfl = u_scale * cfg.deltat / h_min
+            if cfl > 2.0:
+                print(f"WARNING: estimated advective CFL ~{cfl:.1f} > 2 "
+                      f"(u~{u_scale}, dt={cfg.deltat}, h_min~{h_min:.4g}); "
+                      "the BDF2 projection is unstable in this regime — "
+                      "reduce deltat or set proj_bdf2=False / "
+                      "scheme='monolithic'")
         return self
 
     def _apply_gspmd_sharding(self):
@@ -1067,7 +1084,11 @@ class NavierStokes:
         try:
             from navierstokes_tpu.ops.p1ell import block_jacobi_invert
             mflat = self.bc.mask[:, 0]
-            sigma = jnp.asarray(1.0, self.dtype)
+            # the step's actual conditioning scale (interior diag mean of
+            # A0) — measuring with a placeholder sigma could change the
+            # Newton/LU fallback branch and mis-time the rebuild
+            d0 = self._ops.f_diag(params, params.a0_cell)
+            sigma = jnp.sum(d0 * mflat) / jnp.maximum(jnp.sum(mflat), 1.0)
             # everything sizable rides as a jit ARG: a closed-over x0
             # (hundreds of MB of tile seeds at 3D scale) would be inlined
             # as HLO constants and blow the tunneled compile-size limit

@@ -49,15 +49,17 @@ rng = np.random.default_rng(0)
 xu = jnp.asarray(rng.standard_normal((sp.n_p2, sp.dim)), jnp.float32)
 f_blk = (bsr.k_blk + 0.5 * bsr.m_blk).astype(jnp.float32)
 
-fx = jax.jit(lambda v, x: apply_f(bsr, v, x))
-fp = jax.jit(lambda v, x: apply_f_fused(bsr, v, x))
+# bsr rides as a jit ARG — a closure would inline the value arrays as
+# HLO constants and blow the tunneled compile-request size limit
+fx = jax.jit(lambda b, v, x: apply_f(b, v, x))
+fp = jax.jit(lambda b, v, x: apply_f_fused(b, v, x))
 
 
 def timeit(name, fn, n=50):
-    y = jax.block_until_ready(fn(f_blk, xu))
+    y = jax.block_until_ready(fn(bsr, f_blk, xu))
     t0 = time.perf_counter()
     for _ in range(n):
-        y = fn(f_blk, xu)
+        y = fn(bsr, f_blk, xu)
     jax.block_until_ready(y)
     dt = (time.perf_counter() - t0) / n * 1e3
     print(f"{name:28s} {dt:8.3f} ms", flush=True)

@@ -114,9 +114,13 @@ df = load_forces(csv)
 n = len(df)
 tail = df.iloc[int(n * 0.6):]
 if case == "2d1":
-    cd, cl = float(tail["Cd"].mean()), float(tail["Cl"].mean())
+    # steady case: report the SETTLED state (last 10%) — the start-up Cl
+    # oscillation decays through most of the run, so a wide-window mean
+    # understates the converged value
+    settled = df.iloc[int(n * 0.9):]
+    cd, cl = float(settled["Cd"].mean()), float(settled["Cl"].mean())
     print(f"[standard ST] Cd = {cd:.4f} (target 5.57-5.59), "
-          f"Cl = {cl:.4f} (target 0.0104-0.0110)")
+          f"Cl = {cl:.4f} (target 0.0104-0.0110)  [settled: last 10%]")
 elif case == "3d1":
     cd, cl = float(tail["Cd"].mean()), float(tail["Cl"].mean())
     print(f"[standard ST 3D-1Z] Cd = {cd:.4f} (target 7.5-7.7), "
