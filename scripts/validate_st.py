@@ -108,6 +108,16 @@ cfg = SolverConfig(dtype=dtype, nu=1.0e-3, ref_length=0.1,
 ns = NavierStokes(mesh, 2, 1, deltat=dt, T=T, step=400, inlet=inlet,
                   config=cfg)
 ns.setup()
+try:
+    stats = jax.local_devices()[0].memory_stats() or {}
+    used = stats.get("bytes_in_use", 0)
+    lim = stats.get("bytes_limit", 0)
+    if used:
+        print(f"HBM after setup: {used/2**30:.2f} GiB in use"
+              + (f" / {lim/2**30:.2f} GiB limit" if lim else ""),
+              flush=True)
+except Exception:
+    pass
 ns.solve()
 
 df = load_forces(csv)
