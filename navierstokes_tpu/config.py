@@ -212,9 +212,18 @@ class SolverConfig:
     # point, CFL~8: outer FGMRES stalls at res ~3e-3 — scripts/exp_iters.py)
     f_solver: str = "bicgstab"
     # BSR block-rows per block-Jacobi tile (tile size = this * bu nodes).
-    # 16 -> 256-node tiles: measured 25% faster overall than 8 at the
-    # 1M-DoF bench point (stronger preconditioner, fewer BiCGStab its).
-    bj_tile_blocks: int = 16
+    # 0 => auto = max(1, 256 // bu), i.e. 256-node tiles regardless of the
+    # BSR block size: measured 25% faster overall than 128-node tiles at
+    # the 1M-DoF bench point (stronger preconditioner, fewer BiCGStab its).
+    bj_tile_blocks: int = 0
+    # Block-Jacobi tile-gather formulation (ops/p1ell.block_jacobi_tiles):
+    # "blocked" gathers whole (bu,bu) blocks (fast: few long gather rows;
+    # measured 1.9 vs 1.4 steps/s at the 1M-DoF 2D bench point) but its
+    # intermediates are lane-padded to minor 128 — at 3D scale that is
+    # 2 x 7.98 GB of padding HBM (OOM); "rows" gathers bu-wide rows
+    # (HBM-lean, unlocked 1.8M-DoF 3D).  "auto" picks blocked while the
+    # padded footprint stays < 4 GB.
+    bj_tiles: str = "auto"
     # Read the F-block values in bfloat16 inside the PRECONDITIONER's inner
     # solves (vectors and accumulation stay fp32).  Measured neutral-to-
     # slightly-slower on v5e (the blocked matvec is compute-lowering-bound,
@@ -272,7 +281,20 @@ class SolverConfig:
     #   "cells" — element gather/scatter on every matvec (reference
     #             formulation; used by the sharded path)
     operator: str = "bsr"
-    bsr_block: int = 0            # 0 => auto (16 in 2D, 8 in 3D)
+    # BSR block size (velocity AND pressure block rows).  0 => auto = 16.
+    # The ISOLATED F matvec is gather-row-count bound (~2.4 ns/row,
+    # scripts/exp_gather_probe.py: per-matvec ms at the 477k-DoF 3D /
+    # 672k-DoF 2D probes
+    #   bu:     16     32     64
+    #   3D:   2.59   1.17   1.27
+    #   2D:   1.77   0.85   1.02   value GB 0.26/0.38/0.65 in 2D)
+    # so 32 looks 2x better — but END-TO-END the projection step measures
+    # faster at 16 (1.896 vs 1.811 steps/s, 1M-DoF 2D bench, identical
+    # iteration counts): the 1.5x value stream at 32 taxes the per-step
+    # convection scatter + block-Jacobi rebuild more than the matvec
+    # saves.  Keep 16 unless an end-to-end A/B at the target size says
+    # otherwise (NS_BENCH_OVERRIDES='{"bsr_block": 32}').
+    bsr_block: int = 0
     # Overflow split of the F block-ELL (ops/bsr.py): rows with more than
     # this many column-block slots spill the excess into virtual rows,
     # trimming ELL padding from every matvec's gather + value streams
@@ -290,8 +312,10 @@ class SolverConfig:
     f_matvec: str = "xla"
     # Two-level Schur solve (solvers/schur.py): pressure BSR blocks per
     # aggregate (coarse size = n_p1 / (bp * this)), V-cycle count and
-    # Chebyshev smoothing steps per cycle.
-    schur_agg_blocks: int = 4
+    # Chebyshev smoothing steps per cycle.  0 => auto = max(1, 64 // bp),
+    # i.e. 64-node aggregates independent of the BSR block size (the
+    # round-3-validated coarse size at bp=16).
+    schur_agg_blocks: int = 0
     schur_vcycles: int = 2
     schur_smooth_k: int = 3
     # Time loop chunking: how many time steps run inside one jitted scan call.

@@ -255,8 +255,9 @@ class NavierStokes:
                 self._mass_ell = build_mass_node_ell(sp, cells_host,
                                                      self.dtype)
             self._ops = BsrOps(f_matvec=cfg.f_matvec)
-            self._coarse_plan = build_coarse_plan(self.ell,
-                                                  cfg.schur_agg_blocks)
+            self._coarse_plan = build_coarse_plan(
+                self.ell,
+                cfg.schur_agg_blocks or max(1, 64 // self.ell.bp))
             self._build_cc_statics()
             if self.shard_mesh is not None:
                 self._apply_gspmd_sharding()
@@ -390,7 +391,8 @@ class NavierStokes:
         self._ap = assemble_ap(sp, self._cells_host,
                                mask_flat / self._lumped_host, self.dtype,
                                b=self.ell.bp)
-        sc = coarse_from_ell(self._ap, self.config.schur_agg_blocks)
+        agg = self.config.schur_agg_blocks or max(1, 64 // self.ell.bp)
+        sc = coarse_from_ell(self._ap, agg)
         n = sc.shape[0]
         scale = np.abs(np.diag(sc)).mean() + 1e-30
         self._ap_sc_inv = jnp.asarray(
@@ -403,7 +405,9 @@ class NavierStokes:
         self._ap_lam = estimate_lam_max(
             ell_matvec, sdinv, sp.n_p1, self.dtype, op=self._ap)
         self._bj_plan = build_block_jacobi_plan(
-            self.ell, S=self.config.bj_tile_blocks)
+            self.ell, S=self.config.bj_tile_blocks
+            or max(1, 256 // self.ell.bu),
+            layout=self.config.bj_tiles)
         # Projection-scheme Poisson operator: the CONSISTENT P1 stiffness
         # Laplacian (IPCS-style), phi pinned to 0 on the outlet P1 nodes
         # when an outflow exists.  NOT the compatible B W B^T: that choice
@@ -426,7 +430,9 @@ class NavierStokes:
         self._ap_dir = assemble_p1_stiffness(sp, self._cells_host,
                                              self.dtype, b=self.ell.bp,
                                              dirichlet_nodes=out_nodes)
-        scd = coarse_from_ell(self._ap_dir, self.config.schur_agg_blocks)
+        scd = coarse_from_ell(
+            self._ap_dir,
+            self.config.schur_agg_blocks or max(1, 64 // self.ell.bp))
         nd = scd.shape[0]
         sd_scale = np.abs(np.diag(scd)).mean() + 1e-30
         self._ap_dir_sc_inv = jnp.asarray(

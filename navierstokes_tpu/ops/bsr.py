@@ -149,7 +149,14 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
     have zero values and column 0; padding cells have zero detj/jinv and
     scatter into a dead slot, so they contribute nothing."""
     dim = space.dim
-    bu = bu or (16 if dim == 2 else 8)
+    # default 16: the isolated F matvec is gather-ROW-count bound
+    # (~2.4 ns/row on v5e) and prefers 32-wide blocks (2.1-2.2x at the
+    # probe points, scripts/exp_gather_probe.py), but END-TO-END the
+    # projection step measures FASTER at 16 (1.896 vs 1.811 steps/s at
+    # the 1M-DoF 2D bench) — the 1.5x larger value stream at 32 taxes the
+    # per-step convection scatter and the block-Jacobi rebuild more than
+    # the matvec saves.  (8 in 3D lane-pads 16x under TPU tiling: OOM.)
+    bu = bu or 16
     bp = bp or bu
     n_p2, n_p1 = space.n_p2, space.n_p1
     cp2 = np.asarray(space.cell_p2, dtype=np.int64)

@@ -227,9 +227,16 @@ class BlockJacobiPlan:
     S: int = dataclasses.field(metadata=_static)   # block-rows per tile
     bu: int = dataclasses.field(metadata=_static)
     n_p2: int = dataclasses.field(metadata=_static)
+    # tile-gather formulation: "blocked" (gather whole (bu,bu) blocks —
+    # few long gather rows, fast, but the (..., bu, bu) intermediates get
+    # 128/bu-lane-padded by TPU tiling) or "rows" (gather bu-wide rows —
+    # no padded intermediate, HBM-lean, but bu x more gather rows).  See
+    # build_block_jacobi_plan for the auto rule and measurements.
+    layout: str = dataclasses.field(metadata=_static, default="rows")
 
 
-def build_block_jacobi_plan(bsr, S: int = 8) -> BlockJacobiPlan:
+def build_block_jacobi_plan(bsr, S: int = 8,
+                            layout: str = "auto") -> BlockJacobiPlan:
     f_cols = getattr(bsr, "host_f_cols", None)           # (n_vb_ext, KB)
     if f_cols is None:
         f_cols = np.asarray(bsr.f_cols, np.int64)
@@ -267,8 +274,25 @@ def build_block_jacobi_plan(bsr, S: int = 8) -> BlockJacobiPlan:
     r, v, k = r[order], v[order], k[order]
     c = c[order]
     idx[r // S, r % S, c % S] = (v * bu * KB + k) * bu
+    if layout == "auto":
+        # "blocked" gathers whole (bu, bu) blocks (S*S long rows per tile
+        # instead of SB*S short ones): measured 1.9 vs 1.4 steps/s at the
+        # 1M-DoF 2D bench point.  Its two transients — blocks
+        # (n_vb_ext*KB, bu, bu) and tiles (n_tiles, S, S, bu, bu) — get
+        # TPU-tiled with the minor axis padded to 128 (second-minor to 8),
+        # so pick it only while their padded sum fits; "rows" is the
+        # HBM-lean fallback that unlocked 1.8M-DoF 3D (the padded blocks
+        # array alone is ~17 GB there at bu=16: the round-3 OOM wall).
+        # The 8 GB budget reproduces the measured boundary: 2D 1M-DoF
+        # bu=16 is 7.6 GB (ran at 1.9 steps/s), 3D 1.8M-DoF is ~22 GB
+        # (OOM on the 16 GB chip).
+        minor = max(128, bu)
+        smajor = max(8, bu)
+        padded = (n_vb_ext * KB + n_tiles * S * S) * smajor * minor * 4
+        layout = "blocked" if padded < 8e9 else "rows"
     return BlockJacobiPlan(idx=jnp.asarray(idx.astype(np.int32)),
-                           n_tiles=n_tiles, S=S, bu=bsr.bu, n_p2=bsr.n_p2)
+                           n_tiles=n_tiles, S=S, bu=bsr.bu, n_p2=bsr.n_p2,
+                           layout=layout)
 
 
 def block_jacobi_tiles(plan: BlockJacobiPlan, f_blk, mask_flat, sigma):
@@ -279,20 +303,45 @@ def block_jacobi_tiles(plan: BlockJacobiPlan, f_blk, mask_flat, sigma):
     The masked operator is  M F M + sigma (I - M); tiles are built
     accordingly so the inverse is exact on constrained rows.
 
-    The gather runs on the FLAT value vector with scalar indices
-    idx + i*C + j, landing directly in the (n_tiles, S*bu, S*bu) layout —
-    every intermediate keeps a 128-multiple minor axis.  Any formulation
-    that materializes (..., bu, bu) blocks gets 8x lane-padded by XLA's
-    TPU tiling (measured: 2 x 7.98 GB padding HBM at 1.8M DoF in 3D)."""
+    Two formulations, picked statically by ``plan.layout`` (see
+    build_block_jacobi_plan): TPU gather cost scales with the NUMBER of
+    gathered rows (~2.4-20 ns/row, scripts/exp_gather_probe.py), so
+    "blocked" (S*S whole-(bu,bu)-block rows per tile) beats "rows"
+    (SB*S bu-wide rows per tile) by ~0.2 s/step at the 1M-DoF bench
+    point — but its (..., bu, bu) intermediates are lane-padded to minor
+    128 (8x at bu=16; the 3D OOM wall), so "rows" takes over at scale.
+    A scalar-element-wise gather (n_tiles*SB*SB single-element rows) is
+    catastrophically slow: SECONDS per rebuild at 1M DoF (the interim
+    round-4 regression, 1.9 -> 0.35 steps/s)."""
     n_vb, bu, C = f_blk.shape
     SB = plan.S * bu
-    f_flat = jnp.concatenate(
-        [f_blk.reshape(-1), jnp.zeros(bu * C, f_blk.dtype)])
-    off = (jnp.arange(bu, dtype=jnp.int32) * C)[:, None] \
-        + jnp.arange(bu, dtype=jnp.int32)[None, :]             # (bu, bu)
-    idx = (plan.idx[:, :, None, :, None]                       # (t,S,1,S,1)
-           + off[None, None, :, None, :])                      # (t,S,bu,S,bu)
-    t = jnp.take(f_flat, idx.reshape(plan.n_tiles, SB, SB), mode="clip")
+    KB = C // bu
+    if plan.layout == "blocked":
+        # gather whole (bu, bu) blocks: derive the block index v*KB + k
+        # from the stored flat base (v*bu*KB + k)*bu
+        blocks = f_blk.reshape(n_vb, bu, KB, bu).transpose(0, 2, 1, 3)
+        flat = jnp.concatenate(
+            [blocks.reshape(n_vb * KB, bu, bu),
+             jnp.zeros((1, bu, bu), f_blk.dtype)], axis=0)
+        base = plan.idx // bu                                  # v*bu*KB + k
+        v = base // (bu * KB)
+        bidx = jnp.minimum(v * KB + (base - v * (bu * KB)), n_vb * KB)
+        tiles = jnp.take(flat, bidx, axis=0, mode="clip")      # (t,S,S,bu,bu)
+        t = jnp.transpose(tiles, (0, 1, 3, 2, 4)).reshape(
+            plan.n_tiles, SB, SB)
+    else:
+        # rows of width bu: slot (v, k) element-row i lives at row
+        # idx//bu + i*KB of f_blk.reshape(-1, bu); C trailing zero rows
+        # back the "missing pair" sentinel
+        # (zero_base//bu + (bu-1)*KB < total)
+        f_rows = jnp.concatenate(
+            [f_blk.reshape(-1, bu), jnp.zeros((C, bu), f_blk.dtype)])
+        i_off = jnp.arange(bu, dtype=jnp.int32) * KB           # (bu,)
+        ridx = (plan.idx // bu)[:, :, None, :] \
+            + i_off[None, None, :, None]                       # (t,S,bu,S)
+        t = jnp.take(f_rows, ridx.reshape(plan.n_tiles, SB, plan.S),
+                     axis=0, mode="clip")                      # (t,SB,S,bu)
+        t = t.reshape(plan.n_tiles, SB, SB)
     n = plan.n_tiles * SB
     m = jnp.pad(mask_flat, (0, n - plan.n_p2)).reshape(plan.n_tiles, SB)
     t = t * m[:, :, None] * m[:, None, :]

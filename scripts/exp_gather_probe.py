@@ -51,6 +51,15 @@ cells = assembly.cell_arrays_numpy(sp)
 bsr = build_bsr(sp, cells, bu=bu, bp=bu, row_multiple=128,
                 static_device=False,
                 f_kmax=0 if "--kmax0" in sys.argv else -1)
+if "--quick" in sys.argv:
+    # matvec probing needs only the F graph — free the G/B/PP/assembly
+    # device arrays (at wide bu they are GBs and OOM the chip)
+    for fld in ("con_row", "con_cpos", "con_seg", "g_blk", "b_blk",
+                "pp_slot_scatter", "cell_p2", "detj", "jinv", "cell_p1",
+                "g_cols", "b_cols", "pp_cols", "tp_hat", "diag_idx",
+                "curv_ids", "curv_nodes", "curv_phi", "curv_dphys"):
+        setattr(bsr, fld, None)
+
 n_ext, K0 = bsr.f_cols.shape
 bu = bsr.bu
 C = K0 * bu

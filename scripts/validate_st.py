@@ -40,6 +40,8 @@ ap.add_argument("--no-curved", action="store_true",
 ap.add_argument("--csv", default=None, help="csv output path override")
 ap.add_argument("--wake-levels", type=int, default=None,
                 help="extra wake-band refinement levels (2d2 default 1)")
+ap.add_argument("--bsr-block", type=int, default=0,
+                help="BSR block size (0 = auto, see SolverConfig)")
 args = ap.parse_args()
 if args.hz is not None and args.case != "3d1":
     print("note: --hz is only used for 3d1; ignoring", file=sys.stderr)
@@ -100,9 +102,7 @@ cfg = SolverConfig(dtype=dtype, nu=1.0e-3, ref_length=0.1,
                    force_formula="st", scheme=scheme, refine=args.refine,
                    proj_f_maxiter=100, proj_p_maxiter=50,
                    curved_boundary=not args.no_curved,
-                   # 16x16 BSR tiles in 3D: the 8x8 default lane-pads 16x
-                   # under XLA's TPU tiling (measured OOM at 772k DoF)
-                   bsr_block=16 if case.startswith("3d") else 0,
+                   bsr_block=args.bsr_block,
                    output_dir="/tmp/st_out", cache_dir="/tmp/st_cache",
                    csv_path=csv, inner_maxiter_f=10)
 ns = NavierStokes(mesh, 2, 1, deltat=dt, T=T, step=400, inlet=inlet,

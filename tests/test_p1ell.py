@@ -61,13 +61,15 @@ def test_coarse_from_ell(setup):
     assert np.allclose(sc, R.T @ Apd @ R, atol=1e-9)
 
 
-def test_block_jacobi_inverse(setup):
+@pytest.mark.parametrize("layout", ["blocked", "rows"])
+def test_block_jacobi_inverse(setup, layout):
     sp, cells, bsr = setup
     rng = np.random.default_rng(2)
     f_blk = bsr.m_blk + 0.05 * bsr.k_blk
     mask = (rng.uniform(size=sp.n_p2) > 0.1).astype(np.float64)
     sigma = 3.7
-    plan = build_block_jacobi_plan(bsr, S=2)
+    plan = build_block_jacobi_plan(bsr, S=2, layout=layout)
+    assert plan.layout == layout
     inv = block_jacobi_inverse(plan, f_blk, jnp.asarray(mask), sigma)
 
     # dense ground truth of one tile (flat row-major values: ops/bsr.py)

@@ -46,13 +46,17 @@ def test_sharded_matches_single(tmp_path):
 
 def test_sharded_matches_bsr(tmp_path):
     """The sharded cells path and the single-device BSR fast path solve the
-    same problem to the same tolerance."""
+    same problem.  Run both at a TIGHT outer tolerance: at the default
+    1e-6 the two paths' different preconditioners leave different
+    smooth (low-frequency) error modes of size ~kappa*tol that dwarf any
+    meaningful comparison threshold."""
     mesh = channel_with_cylinder_2d(h=0.1, h_near=0.04)
-    u_bsr, p_bsr, _ = _run(mesh, str(tmp_path) + "b", 1, "bsr")
-    u8, p8, _ = _run(mesh, str(tmp_path) + "b", 8, "cells")
-    # both converged to ~1e-6 relative; compare loosely
-    np.testing.assert_allclose(u8, u_bsr, atol=5e-5)
-    np.testing.assert_allclose(p8, p_bsr, atol=5e-4)
+    u_bsr, p_bsr, _ = _run(mesh, str(tmp_path) + "b", 1, "bsr",
+                           outer_tol=1e-10)
+    u8, p8, _ = _run(mesh, str(tmp_path) + "b", 8, "cells",
+                     outer_tol=1e-10)
+    np.testing.assert_allclose(u8, u_bsr, atol=1e-5)
+    np.testing.assert_allclose(p8, p_bsr, atol=1e-4)
 
 
 def test_cell_partitioning_field():
