@@ -309,6 +309,13 @@ class SolverConfig:
     #              (ops/pallas_matvec.py): one HBM pass over the value
     #              array for ALL velocity components (~2x less value
     #              traffic in 2D, ~3x in 3D)
+    # Default stays "xla": the round-4 on-chip A/B with trustworthy
+    # (chained host-pull slope) timing measured pallas SLOWER at both
+    # production points — 2D 672k DoF: 2.04 vs 1.87 ms/matvec; 3D 477k
+    # DoF: 4.69 vs 4.56 ms (scripts/exp_pallas_ab.py, logs/
+    # pallas_ab_{2d_honest,3d}.log, VALIDATION.md).  The column gather
+    # stays outside the kernel (Mosaic cannot lower `take`), so the
+    # kernel only fuses the value pass XLA already fuses.
     f_matvec: str = "xla"
     # Two-level Schur solve (solvers/schur.py): pressure BSR blocks per
     # aggregate (coarse size = n_p1 / (bp * this)), V-cycle count and
