@@ -10,12 +10,18 @@ Headline scheme: the PRODUCTION projection scheme (rotational
 incremental pressure-correction, BDF2 + extrapolated convection) at
 dt=0.00125 — INSIDE the physics-validated regime (VALIDATION.md: the
 same scheme/dt produces in-band Schaefer-Turek 2D-2 coefficients,
-Cd_max 3.224 / Cl_max 1.019 / St 0.300; CFL < 1 on this mesh).  Round 2
-benched BDF1 at dt=0.02 (CFL~8) where BDF2 is unstable; steps/s is
+Cd_max 3.224 / Cl_max 1.019 / St 0.300).  The advective CFL is MEASURED
+from the live velocity field (NavierStokes.measured_cfl) and printed
+below — the round-4 static guardrail that paired the global h_min with
+the peak inlet velocity was a false positive here (the smallest cells
+sit on the no-slip cylinder where the flow is slow).  Round 2 benched
+BDF1 at dt=0.02 (CFL~8) where BDF2 is unstable; steps/s is
 dt-independent here (measured 1.26-1.28 across dt=0.0025..0.000625),
-so the bench now runs at the validated operating point.  The
+so the bench runs at the validated operating point.  The
 reference-parity monolithic FGMRES path is also measured and logged to
-stderr.
+stderr over a settled >=10-step window (its own warmup steps first —
+the round-4 3-step window during the scheme-switch transient measured
+0.259 steps/s vs the settled 0.385).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md).  We compare
 against an estimated 0.125 steps/s for the deal.II/Trilinos reference at
@@ -37,7 +43,8 @@ TARGET_DOFS = 1.0e6
 # sits past it so the number reflects full-inlet physics
 WARMUP_STEPS = 48
 MEASURE_STEPS = 16
-MONO_STEPS = 3
+MONO_WARMUP_STEPS = 5
+MONO_STEPS = 10
 
 
 def log(*a):
@@ -132,6 +139,9 @@ def main():
         f"{steps_per_sec:.3f} steps/s; iters {iters}; "
         f"Cd={float(ms.cd[-1]):.4f} Cl={float(ms.cl[-1]):.4f} "
         f"res={float(ms.residual[-1]):.1e}")
+    cfl = ns.measured_cfl(u)
+    log(f"measured advective CFL at the end of the window: {cfl:.3f} "
+        "(BDF2-projection stability bound ~2)")
 
     # Roofline accounting: XLA cost analysis of the measured step program.
     # The step is HBM-bandwidth bound (SpMV-shaped), so the interesting
@@ -164,9 +174,17 @@ def main():
         ns.config.scheme = "monolithic"
         ns._chunks = {}
         run_m = ns._chunk_fn(1)
-        # continue from the developed state
+        # continue from the developed state; the scheme switch perturbs
+        # the warm-start history, so settle for MONO_WARMUP_STEPS before
+        # opening the measured window (round-4's 3-step window inside the
+        # transient read 33% low)
         um, pm, upm, phm, tm = u, p, up, phi, t
-        um, pm, upm, phm, tm, _ = run_m(params, um, pm, upm, phm, tm)
+        its_w = []
+        for k in range(MONO_WARMUP_STEPS):
+            um, pm, upm, phm, tm, msm = run_m(params, um, pm, upm, phm, tm)
+            its_w.append(int(msm.iterations[0]))
+        log(f"monolithic warmup ({MONO_WARMUP_STEPS} steps incl. compile); "
+            f"iters {its_w}")
         t0 = time.time()
         its_m = []
         for k in range(MONO_STEPS):

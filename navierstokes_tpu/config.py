@@ -161,6 +161,18 @@ class SolverConfig:
     # CFL~8 bench point; use proj_bdf2=False there (reference-matching
     # temporal order).
     proj_bdf2: bool = True
+    # Explicit-pressure extrapolation weight theta in the momentum
+    # equation: solve for the increment about
+    # p* = p^n + theta (p^n - p^{n-1}) instead of about p^n (theta=0).
+    # theta=1 is the formally second-order explicit pressure that would
+    # shrink the incremental scheme's open-boundary phi boundary layer
+    # (the dphi/dn=0-on-Dirichlet inconsistency capping it at O(dt^1.5)
+    # near open boundaries); it is also the classical stability trap of
+    # pressure-correction methods — MEASURED DIVERGENT on the
+    # manufactured open-boundary problem (scripts/exp_pextrap.py), see
+    # VALIDATION.md for the partial-theta study.  Default 0 (plain
+    # incremental scheme).
+    proj_p_extrap: float = 0.0
     # Relative tolerance of the projection sub-solves.  1e-4 is matched to
     # the O(dt^2) splitting error: measured Cd within 0.3% of the fully
     # (1e-6) converged projection at the 1M-DoF bench point, at ~2.3x less

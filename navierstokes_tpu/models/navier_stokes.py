@@ -32,7 +32,8 @@ import numpy as np
 
 from navierstokes_tpu.config import InletConfig, SolverConfig
 from navierstokes_tpu.fem.spaces import TaylorHoodSpace
-from navierstokes_tpu.mesh.geometry import Mesh, TAG_OBSTACLE, TAG_OUTLET
+from navierstokes_tpu.mesh.geometry import (Mesh, TAG_OBSTACLE, TAG_OUTLET,
+                                            TAG_WALL_BOTTOM, TAG_WALL_TOP)
 from navierstokes_tpu.mesh.msh_io import read_msh
 from navierstokes_tpu.ops.assembly import (build_cell_arrays,
                                            build_face_arrays)
@@ -310,23 +311,83 @@ class NavierStokes:
         self._chunks = {}
         self._is_setup = True
 
-        # CFL guardrail: the BDF2 projection variant is documented unstable
-        # at CFL >~ 2 (config.py proj_bdf2 notes).  Estimate the advective
-        # CFL from the inlet scale and the smallest cell and warn loudly —
-        # the monolithic scheme and proj_bdf2=False remain robust there.
+        # Advective-CFL instrumentation.  The BDF2 projection variant is
+        # documented unstable at CFL >~ 2 (config.py proj_bdf2 notes).  The
+        # authoritative number is the MEASURED CFL max_c max_{nodes of c}
+        # |u| * dt / h_c computed from the live velocity field each chunk
+        # (solve() prints it and warns on sustained excess); the static
+        # estimate below is only a pre-run screen for grossly unstable
+        # configurations.
+        vols = np.abs(self.mesh.cell_volumes())
+        h_c = (vols * (2.0 if self.dim == 2 else 6.0)) ** (1.0 / self.dim)
+        self._cfl_dt_over_h = jnp.asarray(cfg.deltat / h_c, self.dtype)
+        self._measured_cfl_fn = None
+        self._cfl_warned = False
         if cfg.scheme == "projection" and cfg.proj_bdf2:
-            vols = np.abs(self.mesh.cell_volumes())
-            h_min = float((vols.min() * (2.0 if self.dim == 2 else 6.0))
-                          ** (1.0 / self.dim))
-            u_scale = max(abs(self.inlet.u_m), 1e-30)
-            cfl = u_scale * cfg.deltat / h_min
+            cfl = self._static_cfl_estimate(h_c)
             if cfl > 2.0:
                 print(f"WARNING: estimated advective CFL ~{cfl:.1f} > 2 "
-                      f"(u~{u_scale}, dt={cfg.deltat}, h_min~{h_min:.4g}); "
-                      "the BDF2 projection is unstable in this regime — "
-                      "reduce deltat or set proj_bdf2=False / "
-                      "scheme='monolithic'")
+                      f"(dt={cfg.deltat}); the BDF2 projection is unstable "
+                      "in this regime — reduce deltat or set "
+                      "proj_bdf2=False / scheme='monolithic'")
         return self
+
+    def _static_cfl_estimate(self, h_c: np.ndarray) -> float:
+        """Pre-run advective-CFL screen with a wall-aware velocity scale.
+
+        The round-4 screen paired the GLOBAL h_min with the PEAK inlet
+        velocity — a false positive on production meshes, whose smallest
+        cells sit on no-slip boundaries where the advective velocity is
+        set by the local wall strain rate, not the inlet peak (e.g. the
+        1M-DoF bench mesh: h_min ~ 6.6e-4 on the cylinder surface, where
+        the measured near-wall speed is ~0.1, not 1.5).  Here each cell's
+        velocity scale is the inlet peak capped by a linear laminar
+        boundary-layer profile u ~ u_m * d_wall / delta with
+        delta = L_ref / sqrt(Re) (laminar flat-plate/cylinder scaling);
+        d_wall is the centroid distance to the nearest no-slip boundary
+        node.  The true per-step CFL is measured from the live field in
+        solve() — this screen exists only to refuse configurations that
+        are unstable even in the free stream (the regime the reference
+        avoids by treating convection implicitly,
+        src/NavierStokes.cpp:204-208)."""
+        mesh = self.mesh
+        u_peak = max(abs(self.inlet.u_m), 1e-30)
+        u_cell = np.full(h_c.shape, u_peak)
+        noslip = np.isin(mesh.boundary_tags,
+                         (TAG_WALL_BOTTOM, TAG_WALL_TOP, TAG_OBSTACLE))
+        if noslip.any():
+            try:
+                from scipy.spatial import cKDTree
+                wall_pts = mesh.points[np.unique(
+                    mesh.boundary_faces[noslip].ravel())]
+                cent = mesh.points[mesh.cells].mean(axis=1)
+                d = cKDTree(wall_pts).query(cent, k=1)[0]
+                u_mean = max(self.inlet.steady_mean_velocity(), 1e-30)
+                re = max(u_mean * self.config.ref_length / self.nu, 1.0)
+                delta = max(self.config.ref_length / np.sqrt(re), 1e-12)
+                u_cell = u_peak * np.minimum(1.0, d / delta)
+            except Exception:
+                pass  # screen only; the measured CFL is authoritative
+        return float(np.max(u_cell * self.config.deltat / h_c))
+
+    def measured_cfl(self, u=None) -> float:
+        """Advective CFL of the (given or current) velocity field:
+        max over cells of (max nodal speed in the cell) * dt / h_cell,
+        h_cell the equilateral-equivalent size.  This is the per-step
+        stability number the reference never needs (implicit convection,
+        src/NavierStokes.cpp:204-208) but the extrapolated-convection
+        projection scheme must respect."""
+        if self._measured_cfl_fn is None:
+            cell_p2 = jnp.asarray(self.space.cell_p2)
+            dt_over_h = self._cfl_dt_over_h
+
+            @jax.jit
+            def f(u):
+                speed = jnp.sqrt((u * u).sum(axis=-1))
+                return (speed[cell_p2].max(axis=1) * dt_over_h).max()
+
+            self._measured_cfl_fn = f
+        return float(self._measured_cfl_fn(self._u if u is None else u))
 
     def _apply_gspmd_sharding(self):
         """Distribute the BSR fast path over the device mesh — the TPU
@@ -639,10 +700,18 @@ class NavierStokes:
             pre_f = lambda r: r * dinv
 
         # ---- u* momentum solve ----
+        # proj_p_extrap = theta: solve about the explicit pressure
+        # p* = p^n + theta (p^n - p^{n-1}) instead of p^n — at theta=1 the
+        # increment carries only the O(dt^2) change, shrinking the
+        # open-boundary phi boundary layer, but the full extrapolation is
+        # MEASURED DIVERGENT (config.py proj_p_extrap notes)
+        theta = float(cfg.proj_p_extrap)
+        p_ref = (p + theta * phi_prev
+                 if theta != 0.0 and phi_prev is not None else p)
         factor = self._time_factor(t_new).astype(self.dtype)
         g = bc.lift(factor)
         b_u = (ops.mass_apply(params, u_t) + params.rhs_neumann
-               - apply_Bt_raw(p))
+               - apply_Bt_raw(p_ref))
         if self.forcing is not None:
             xq = params.forcing_xq
             fq = self.forcing(xq.reshape(-1, self.dim), t_new)
@@ -690,8 +759,11 @@ class NavierStokes:
             rhs_p = rhs_p - jnp.mean(rhs_p)
         # warm start: phi (the pressure increment) varies slowly between
         # consecutive steps in developed flow — the previous increment cuts
-        # the CG iteration count materially at small dt
-        res_p = cg(apply_ap, rhs_p, x0=phi_prev, tol=tol,
+        # the CG iteration count materially at small dt.  Under p_extrap
+        # the increment is the CHANGE of increments (near zero in smooth
+        # flow), so zero is the better initial guess.
+        phi_x0 = None if theta != 0.0 else phi_prev
+        res_p = cg(apply_ap, rhs_p, x0=phi_x0, tol=tol,
                    maxiter=cfg.proj_p_maxiter, precond=solve_ap)
         phi = (res_p.x * params.ap_dir_pin if pinned
                else res_p.x - jnp.mean(res_p.x))
@@ -699,10 +771,14 @@ class NavierStokes:
         # ---- correction + rotational pressure update ----
         u_new = u_star - dt_eff * (params.ap_w[:, None] * apply_Bt_raw(phi))
         u_new = u_new * mask + g               # exact boundary values
-        p_new = p + phi
+        p_new = p_ref + phi
         if cfg.proj_rotational:
             # -nu div(u*) == +nu Mp^-1 (B u*) in this operator convention
             p_new = p_new + params.nu * (div_star / params.mp_lumped)
+        if theta != 0.0:
+            # carry the FULL per-step pressure change (incl. the rotational
+            # term) so next step's p* = p + theta (p^n - p^{n-1}) exactly
+            phi = p_new - p
 
         # ---- forces (cpp:831-929) ----
         if params.faces_obst is not None:
@@ -1159,11 +1235,18 @@ class NavierStokes:
             self._record(ms, idx=-1)
             done += k
             ts += k
+            cfl = self.measured_cfl()
             print(f"n = {ts:4d}, t = {self.time:.4f}: "
                   f"{int(ms.iterations[-1])} FGMRES its "
                   f"(res {float(ms.residual[-1]):.1e}), "
                   f"Cd = {self.cd:.5f}, Cl = {self.cl:.5f} "
-                  f"({per_step * 1e3:.1f} ms/step)")
+                  f"(CFL {cfl:.2f}, {per_step * 1e3:.1f} ms/step)")
+            if (cfl > 2.5 and not self._cfl_warned
+                    and cfg.scheme == "projection" and cfg.proj_bdf2):
+                self._cfl_warned = True
+                print(f"WARNING: measured advective CFL {cfl:.2f} > 2.5 — "
+                      "the BDF2 projection is unstable in this regime; "
+                      "reduce deltat or set proj_bdf2=False")
             if out_every and ts % out_every == 0:
                 self.output(ts)
                 self.export_data(ts)

@@ -62,11 +62,16 @@ def test_scenario_trace(name):
 
 
 def test_2d2_dt_convergence_traces():
-    """Published-band regression over the committed Schaefer-Turek 2D-2
-    dt-study traces (VALIDATION.md): Cd_max and St must sit inside the
-    published intervals at both committed dt; Cl_max is checked against
-    the recorded dt-convergence values (non-monotone in dt — BDF2
-    temporal dissipation damps the shedding amplitude; see VALIDATION).
+    """Regression caps over the committed Schaefer-Turek 2D-2 dt-study
+    traces (VALIDATION.md).  The Cd_max band here (3.20-3.25) is a
+    slightly LOOSENED regression cap around the published interval
+    3.22-3.24 — it guards the committed traces against code regressions
+    without flaking on the ~0.5% run-to-run spread; the published-band
+    claims themselves live in VALIDATION.md with the exact per-trace
+    values.  Cl_max is checked against the recorded dt-convergence values
+    (non-monotone in dt — BDF2 temporal dissipation damps the shedding
+    amplitude; see VALIDATION).  St must sit inside the published
+    interval at every committed dt.
     Reference counterpart: tests/2D/test_02/src/test_02.cpp:57-58."""
     cases = {
         "st_2d2_projection_bdf2_h015_dt00125.csv": 1.03,
@@ -84,10 +89,12 @@ def test_2d2_dt_convergence_traces():
         cl_max = float(d["Cl"][m].max())
         assert 3.20 <= cd_max <= 3.25, (name, cd_max)
         assert 0.95 <= cl_max <= cl_cap, (name, cl_max)
-        # Strouhal from mean upward-zero-crossing period of Cl
+        # Strouhal from the mean upward-zero-crossing period of Cl; the
+        # strict-inequality pair counts a sample landing exactly on 0
+        # once (sign-diff > 0 would count it twice and skew the period)
         y = d["Cl"][m]
         tt = t[m]
-        s = np.where(np.diff(np.sign(y)) > 0)[0]
+        s = np.where((y[:-1] < 0) & (y[1:] >= 0))[0]
         assert len(s) >= 3, "too few shedding periods in the tail"
         st = 0.1 / (float(np.diff(tt[s]).mean()) * u_mean)
         assert 0.295 <= st <= 0.305, (name, st)

@@ -135,3 +135,76 @@ def test_projection_bdf2_temporal_order():
     r1 = np.log2(errs[0] / errs[1])
     r2 = np.log2(errs[1] / errs[2])
     assert r1 > 1.8 and r2 > 1.8, (errs, r1, r2)
+
+
+def test_projection_open_boundary_pressure_extrapolation():
+    """Open-boundary splitting error and the pressure-extrapolation trap.
+
+    Manufactured solution on [0,1]x[0,H] with an OPEN outlet and a
+    time-varying pressure G(t)(1-x) (exact in P1; u exact in P2; both
+    convection and the outflow natural BC hold exactly, so all error is
+    temporal).  The pressure increment has nonzero normal derivative at
+    the inlet — exactly the dphi/dn=0 inconsistency that caps the
+    incremental scheme near open boundaries.
+
+    Pins the round-5 measured result (scripts/exp_pextrap.py, VALIDATION
+    round 5): the plain incremental-rotational scheme CONVERGES (error
+    contracts >= ~O(dt^2) over this range), while the formally
+    second-order extrapolated pressure p* = 2p^n - p^{n-1}
+    (proj_p_extrap=1) is DIVERGENT — the classical stability trap of
+    pressure-correction methods [Guermond, Minev & Shen 2006 sec. 8] —
+    so the knob stays default-off and the O(dt^1.5) open-boundary bound
+    stands as a scheme property, not an implementation defect.
+    Reference counterpart: the monolithic solver's implicit pressure
+    coupling, src/NavierStokes.cpp:222-229, which has no such split."""
+    import jax.numpy as jnp
+
+    from navierstokes_tpu.config import InletConfig, SolverConfig
+    from navierstokes_tpu.models.navier_stokes import NavierStokes
+
+    H, NU, UM, R, T = 0.41, 0.01, 1.0, 0.2, 0.8
+    OMEGA = np.pi / (2.0 * T)
+
+    def g(t):
+        return np.where(t >= R, 1.0, 0.5 - 0.5 * np.cos(np.pi * t / R))
+
+    def forcing(x, t):
+        y = x[:, 1]
+        gj = jnp.where(t >= R, 1.0, 0.5 - 0.5 * jnp.cos(jnp.pi * t / R))
+        gpj = jnp.where(t >= R, 0.0,
+                        0.5 * jnp.pi / R * jnp.sin(jnp.pi * t / R))
+        fx = (gpj * 4.0 * UM * y * (H - y) / H ** 2
+              + 8.0 * NU * UM / H ** 2 * gj - jnp.sin(OMEGA * t))
+        return jnp.stack([fx, jnp.zeros_like(fx)], axis=1)
+
+    def final_error(dt, theta):
+        mesh = rectangle_2d(1.0, H, 8, 6)
+        inlet = InletConfig(kind="parabolic", u_m=UM, height=H, ramp=R)
+        cfg = SolverConfig(dtype="float64", nu=NU, ref_length=0.1,
+                           scheme="projection", proj_bdf2=True,
+                           proj_p_extrap=theta, proj_tol=1e-12,
+                           proj_f_maxiter=500, proj_p_maxiter=400,
+                           output_dir="/tmp/pext/o", cache_dir="/tmp/pext/c",
+                           csv_path="/tmp/pext/f.csv")
+        ns = NavierStokes(mesh, 2, 1, deltat=dt, T=T, step=0, inlet=inlet,
+                          config=cfg, forcing=forcing)
+        ns.setup()
+        ns._init_state(0)
+        for _ in range(int(round(T / dt))):
+            ns.solve_time_step()
+        sp = ns.space
+        ue = np.zeros((sp.n_p2, 2))
+        ue[:, 0] = g(T) * 4.0 * UM * sp.p2_coords[:, 1] \
+            * (H - sp.p2_coords[:, 1]) / H ** 2
+        return (np.linalg.norm(np.asarray(ns._u) - ue)
+                / np.linalg.norm(ue))
+
+    # plain scheme: contracts at >= ~O(dt^2) over this dt range
+    # (measured 3.37e-4 -> 1.89e-5 over one quartering of dt)
+    e_plain = [final_error(dt, 0.0) for dt in (0.04, 0.01)]
+    assert e_plain[1] < e_plain[0] / 10.0, e_plain
+    assert e_plain[1] < 1e-4, e_plain
+    # extrapolated pressure: measured divergent (8.1 at dt=0.01, and
+    # growing under further refinement)
+    e_extrap = final_error(0.01, 1.0)
+    assert e_extrap > 10.0 * e_plain[1], (e_extrap, e_plain)
