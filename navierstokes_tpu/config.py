@@ -228,13 +228,18 @@ class SolverConfig:
     # BSR block size: measured 25% faster overall than 128-node tiles at
     # the 1M-DoF bench point (stronger preconditioner, fewer BiCGStab its).
     bj_tile_blocks: int = 0
-    # Block-Jacobi tile-gather formulation (ops/p1ell.block_jacobi_tiles):
+    # Block-Jacobi tile formulation (ops/p1ell.block_jacobi_tiles):
     # "blocked" gathers whole (bu,bu) blocks (fast: few long gather rows;
     # measured 1.9 vs 1.4 steps/s at the 1M-DoF 2D bench point) but its
     # intermediates are lane-padded to minor 128 — at 3D scale that is
     # 2 x 7.98 GB of padding HBM (OOM); "rows" gathers bu-wide rows
-    # (HBM-lean, unlocked 1.8M-DoF 3D).  "auto" picks blocked while the
-    # padded footprint stays < 4 GB.
+    # (leaner, unlocked 1.8M-DoF 3D, but still materializes an 8x-padded
+    # reshape of the whole value array — 14.8 GiB at 3.39M DoF, the
+    # round-5 OOM); "scatter" assembles the tile values directly from the
+    # per-cell convection matrices via a presorted segment-sum on top of
+    # a host-precomputed static base (no gather, no padded transient —
+    # the 3.39M-DoF 3D enabler).  "auto" picks blocked while the padded
+    # footprint stays < 8 GB, scatter beyond.
     bj_tiles: str = "auto"
     # Read the F-block values in bfloat16 inside the PRECONDITIONER's inner
     # solves (vectors and accumulation stay fp32).  Measured neutral-to-

@@ -66,16 +66,95 @@ def facets_of(dim: int):
     return FACETS_2D if dim == 2 else FACETS_3D
 
 
+def lattice_multi_indices(dim: int, degree: int) -> np.ndarray:
+    """Barycentric multi-indices alpha (|alpha| = degree) of the equispaced
+    Lagrange lattice nodes on the dim-simplex, in the CANONICAL entity
+    order the whole framework numbers DoFs by:
+
+      1. vertices (alpha = degree * e_i), in vertex order 0..dim
+      2. edge-interior nodes, per edge of ``edges_of(dim)``, walking each
+         edge (a, b) from a to b (alpha_a descending)
+      3. facet-interior nodes (3D only, degree >= 3), per facet of
+         ``facets_of(dim)``, lexicographic in the facet's own barycentric
+         lattice
+      4. cell-interior nodes, lexicographic
+
+    Matches the P1/P2 orderings the production P2/P1 pair has always used
+    (vertices then edge midpoints), and generalizes them: this is how the
+    reference ctor's arbitrary-degree generality (src/NavierStokes.hpp:
+    173-178, deal.II FE_SimplexP) is realized here.
+    Returns (n_basis, dim+1) int."""
+    k = degree
+    nv = dim + 1
+    out = []
+    # 1. vertices
+    for i in range(nv):
+        a = np.zeros(nv, np.int64)
+        a[i] = k
+        out.append(a)
+    # 2. edge-interior nodes
+    if k >= 2:
+        for (ea, eb) in edges_of(dim):
+            for r in range(1, k):
+                a = np.zeros(nv, np.int64)
+                a[ea], a[eb] = k - r, r
+                out.append(a)
+    # 3. facet-interior nodes (3D)
+    if dim == 3 and k >= 3:
+        for facet in facets_of(dim):
+            f = sorted(facet)
+            for i in range(1, k):            # lexicographic over (i, j)
+                for j in range(1, k - i):
+                    rem = k - i - j
+                    if rem < 1:
+                        continue
+                    a = np.zeros(nv, np.int64)
+                    a[f[0]], a[f[1]], a[f[2]] = rem, i, j
+                    out.append(a)
+    # 4. cell-interior nodes
+    if (dim == 2 and k >= 3) or (dim == 3 and k >= 4):
+        rng = range(1, k)
+        if dim == 2:
+            for i in rng:
+                for j in rng:
+                    if k - i - j >= 1:
+                        out.append(np.array([k - i - j, i, j]))
+        else:
+            for i in rng:
+                for j in rng:
+                    for m in rng:
+                        if k - i - j - m >= 1:
+                            out.append(np.array([k - i - j - m, i, j, m]))
+    return np.stack(out)
+
+
 def n_basis(dim: int, degree: int) -> int:
-    if degree == 1:
-        return dim + 1
-    if degree == 2:
-        return dim + 1 + len(edges_of(dim))
-    raise ValueError(f"unsupported degree {degree}")
+    from math import comb
+    return comb(dim + degree, dim)
+
+
+def _silvester(lam: np.ndarray, m: int, k: int):
+    """Silvester polynomial P_m(k, lam) = prod_{r<m} (k lam - r)/(m - r) and
+    its derivative w.r.t. lam — the 1-factor of the equispaced simplex
+    Lagrange basis.  lam: (n,) barycentric coordinate values."""
+    if m == 0:
+        return np.ones_like(lam), np.zeros_like(lam)
+    val = np.ones_like(lam)
+    dval = np.zeros_like(lam)
+    for r in range(m):
+        f = (k * lam - r) / (m - r)
+        dval = dval * f + val * (k / (m - r))
+        val = val * f
+    return val, dval
 
 
 def shape_values(dim: int, degree: int, pts: np.ndarray) -> np.ndarray:
-    """(n_pts, n_basis) Lagrange shape values at reference points."""
+    """(n_pts, n_basis) Lagrange shape values at reference points.
+
+    Degrees 1 and 2 keep their original closed forms (bit-identical to
+    the historical tables); higher degrees use the Silvester product
+    basis N_alpha = prod_i P_{alpha_i}(k, lam_i) on the equispaced
+    lattice (nodal on lattice_multi_indices, partition of unity)."""
     lam = _bary(dim, pts)  # (n, dim+1)
     if degree == 1:
         return lam
@@ -84,7 +163,14 @@ def shape_values(dim: int, degree: int, pts: np.ndarray) -> np.ndarray:
         edge = np.stack([4.0 * lam[:, a] * lam[:, b] for a, b in edges_of(dim)],
                         axis=1)
         return np.concatenate([vertex, edge], axis=1)
-    raise ValueError(f"unsupported degree {degree}")
+    alphas = lattice_multi_indices(dim, degree)
+    cols = []
+    for alpha in alphas:
+        v = np.ones(lam.shape[0])
+        for i, m in enumerate(alpha):
+            v = v * _silvester(lam[:, i], int(m), degree)[0]
+        cols.append(v)
+    return np.stack(cols, axis=1)
 
 
 def shape_grads(dim: int, degree: int, pts: np.ndarray) -> np.ndarray:
@@ -100,14 +186,38 @@ def shape_grads(dim: int, degree: int, pts: np.ndarray) -> np.ndarray:
              for a, b in edges_of(dim)],
             axis=1)
         return np.concatenate([vertex, edge], axis=1)
-    raise ValueError(f"unsupported degree {degree}")
+    alphas = lattice_multi_indices(dim, degree)
+    n = lam.shape[0]
+    rows = []
+    for alpha in alphas:
+        vals = []
+        dvals = []
+        for i, m in enumerate(alpha):
+            v, dv = _silvester(lam[:, i], int(m), degree)
+            vals.append(v)
+            dvals.append(dv)
+        grad = np.zeros((n, dim))
+        for i in range(dim + 1):
+            prod_others = np.ones(n)
+            for j in range(dim + 1):
+                if j != i:
+                    prod_others = prod_others * vals[j]
+            grad += (dvals[i] * prod_others)[:, None] * g[i][None, :]
+        rows.append(grad)
+    return np.stack(rows, axis=1)
+
+
+def node_ref_coords(dim: int, degree: int) -> np.ndarray:
+    """Reference coordinates of the degree-k lattice nodes, in the canonical
+    entity order of ``lattice_multi_indices``."""
+    alphas = lattice_multi_indices(dim, degree).astype(np.float64) / degree
+    verts = np.concatenate([np.zeros((1, dim)), np.eye(dim)], axis=0)
+    return alphas @ verts
 
 
 def p2_node_ref_coords(dim: int) -> np.ndarray:
     """Reference coordinates of the P2 nodes (vertices then edge midpoints)."""
-    verts = np.concatenate([np.zeros((1, dim)), np.eye(dim)], axis=0)
-    mids = np.stack([(verts[a] + verts[b]) / 2.0 for a, b in edges_of(dim)])
-    return np.concatenate([verts, mids], axis=0)
+    return node_ref_coords(dim, 2)
 
 
 class ReferenceSimplex:
@@ -121,22 +231,30 @@ class ReferenceSimplex:
 
     def __init__(self, dim: int, degree_velocity: int = 2,
                  degree_pressure: int = 1, n_points_1d: int | None = None):
-        if degree_velocity != 2 or degree_pressure != 1:
-            raise NotImplementedError(
-                "Taylor-Hood P2/P1 is the supported pair (like every "
-                "reference scenario, tests/*/src/*.cpp degree args 2/1)")
+        # Arbitrary degree pairs, matching the reference ctor's generality
+        # (src/NavierStokes.hpp:173-178, deal.II FE_SimplexP(degree)).  The
+        # production scenarios all use 2/1 like the reference's drivers;
+        # higher pairs are exercised by tests/test_degrees.py.
+        if degree_velocity < 1 or degree_pressure < 1:
+            raise ValueError("degrees must be >= 1")
+        if dim == 3 and degree_velocity > 3:
+            # >3 needs an orientation convention for the 3+ facet-interior
+            # nodes shared between cells; not wired (no reference scenario
+            # nor driver goes past cubic)
+            raise NotImplementedError("3D velocity degree > 3 not supported")
         self.dim = dim
         self.degree_velocity = degree_velocity
         self.degree_pressure = degree_pressure
         n1d = n_points_1d or (degree_velocity + 1)
 
+        kv, kp = degree_velocity, degree_pressure
         # Cell quadrature
         self.qp, self.qw = gauss_simplex(dim, n1d)        # (n_q, dim), (n_q,)
         self.n_q = self.qp.shape[0]
-        self.phi_v = shape_values(dim, 2, self.qp)        # (n_q, n_v)
-        self.dphi_v = shape_grads(dim, 2, self.qp)        # (n_q, n_v, dim)
-        self.phi_p = shape_values(dim, 1, self.qp)        # (n_q, n_p)
-        self.dphi_p = shape_grads(dim, 1, self.qp)
+        self.phi_v = shape_values(dim, kv, self.qp)       # (n_q, n_v)
+        self.dphi_v = shape_grads(dim, kv, self.qp)       # (n_q, n_v, dim)
+        self.phi_p = shape_values(dim, kp, self.qp)       # (n_q, n_p)
+        self.dphi_p = shape_grads(dim, kp, self.qp)
         self.n_v = self.phi_v.shape[1]                    # 6 (2D) / 10 (3D)
         self.n_p = self.phi_p.shape[1]                    # 3 (2D) / 4 (3D)
 
@@ -148,7 +266,10 @@ class ReferenceSimplex:
 
         self.edges = edges_of(dim)
         self.facets = facets_of(dim)
-        self.p2_nodes = p2_node_ref_coords(dim)
+        # velocity-node reference coordinates (name kept from the P2/P1
+        # original: these are the DEGREE-kv lattice nodes)
+        self.p2_nodes = node_ref_coords(dim, kv)
+        self.p_nodes = node_ref_coords(dim, kp)
 
         # Precomputed reference tensors for assembly (all tiny, float64):
         w = self.qw
@@ -177,9 +298,9 @@ class ReferenceSimplex:
         for facet in self.facets:
             fverts = verts[list(facet)]                   # (dim, dim)
             cell_pts = self.fq_bary @ fverts              # (n_fq, dim)
-            fv.append(shape_values(dim, 2, cell_pts))
-            fg.append(shape_grads(dim, 2, cell_pts))
-            fp.append(shape_values(dim, 1, cell_pts))
+            fv.append(shape_values(dim, kv, cell_pts))
+            fg.append(shape_grads(dim, kv, cell_pts))
+            fp.append(shape_values(dim, kp, cell_pts))
         self.facet_phi_v = np.stack(fv)                   # (n_f, n_fq, n_v)
         self.facet_dphi_v = np.stack(fg)                  # (n_f, n_fq, n_v, dim)
         self.facet_phi_p = np.stack(fp)                   # (n_f, n_fq, n_p)

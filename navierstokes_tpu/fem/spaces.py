@@ -36,6 +36,91 @@ def _encode_pairs(a: np.ndarray, b: np.ndarray, n: int) -> np.ndarray:
     return lo * np.int64(n) + hi
 
 
+def _lagrange_numbering(mesh: Mesh, k: int, cells: np.ndarray,
+                        cell_edges: np.ndarray, edge_verts: np.ndarray):
+    """Global numbering of the degree-k Lagrange lattice on a simplex mesh.
+
+    Generalizes the P2 vertices-then-edges layout to any degree — the
+    arbitrary-degree half of the reference ctor's generality
+    (src/NavierStokes.hpp:173-178; deal.II FE_SimplexP/DoFHandler).  Node
+    ids, entity-major:
+
+      [0, n_points)                      vertices (= vertex id)
+      n_points + e*(k-1) + s             edge e, slot s: the node at
+                                         fraction (s+1)/k from the LOWER
+                                         vertex id toward the higher —
+                                         orientation-independent, so the
+                                         two cells sharing an edge agree
+      + face f (3D, k == 3)              one interior node per unique face
+      + cell-interior nodes              per cell (2D k >= 3)
+
+    Local (per-cell) column order matches
+    reference_elements.lattice_multi_indices exactly.  Like the P2 layout,
+    the numbering depends only on the mesh, so checkpoints stay
+    device-count independent (the property the reference rebuilds with
+    214 lines of MPI merging, src/NavierStokes.cpp:571-784).
+
+    Returns (n_nodes, cell_nodes (nc, n_basis) int32, coords,
+    edge_node_block (n_edges, k-1), face_key_sorted or None,
+    face_node or None)."""
+    from navierstokes_tpu.fem.reference_elements import (
+        lattice_multi_indices, n_basis)
+    dim = mesh.dim
+    if dim == 3 and k > 3:
+        raise NotImplementedError("3D degree > 3 not supported")
+    npnt = mesh.n_points
+    nc = mesh.n_cells
+    n_edges = edge_verts.shape[0]
+    nb = n_basis(dim, k)
+    edges = edges_of(dim)
+
+    cell_nodes = np.empty((nc, nb), np.int64)
+    cell_nodes[:, :dim + 1] = cells
+    col = dim + 1
+    if k >= 2:
+        for le, (a, b) in enumerate(edges):
+            e = cell_edges[:, le].astype(np.int64)
+            a_is_lo = cells[:, a] < cells[:, b]
+            for r in range(1, k):
+                s = np.where(a_is_lo, r - 1, k - r - 1)
+                cell_nodes[:, col] = npnt + e * (k - 1) + s
+                col += 1
+    n_en = n_edges * (k - 1)
+    base_f = npnt + n_en
+    n_faces = 0
+    face_key_sorted = face_node = None
+    if dim == 3 and k >= 3:
+        fverts = cells[:, np.array(facets_of(3))]          # (nc, 4, 3)
+        fs = np.sort(fverts, axis=2).astype(np.int64)
+        key = (fs[..., 0] * npnt + fs[..., 1]) * npnt + fs[..., 2]
+        face_key_sorted, invf = np.unique(key.ravel(), return_inverse=True)
+        n_faces = len(face_key_sorted)
+        cell_nodes[:, col:col + 4] = base_f + invf.reshape(nc, 4)
+        col += 4
+        face_node = base_f + np.arange(n_faces, dtype=np.int64)
+    base_i = base_f + n_faces
+    n_int = nb - col
+    if n_int:
+        cell_nodes[:, col:] = (base_i
+                               + np.arange(nc, dtype=np.int64)[:, None]
+                               * n_int + np.arange(n_int))
+    n_nodes = base_i + nc * n_int
+
+    # coordinates: barycentric lattice positions inside each cell (shared
+    # nodes receive identical values from every writer)
+    alphas = lattice_multi_indices(dim, k).astype(np.float64) / k
+    verts = mesh.points[cells]                             # (nc, dim+1, dim)
+    xn = np.einsum("la,cad->cld", alphas, verts)           # (nc, nb, dim)
+    coords = np.zeros((n_nodes, dim))
+    coords[cell_nodes.reshape(-1)] = xn.reshape(-1, dim)
+
+    edge_node_block = (npnt + np.arange(n_en, dtype=np.int64)
+                       .reshape(n_edges, k - 1)) if k >= 2 else \
+        np.zeros((n_edges, 0), np.int64)
+    return (n_nodes, cell_nodes.astype(np.int32), coords, edge_node_block,
+            face_key_sorted, face_node)
+
+
 @dataclasses.dataclass
 class FaceData:
     """Precomputed boundary-face quadrature data for one tag.
@@ -125,29 +210,52 @@ class TaylorHoodSpace:
             cell_edges = inverse.reshape(
                 (mesh.n_cells, edges.shape[0]))         # local -> global
 
-        self.n_p1 = mesh.n_points
-        self.n_p2 = mesh.n_points + self.n_edges
-
-        # cell -> P2 node map, local order = vertices then edges (matches
-        # reference_elements shape ordering)
-        self.cell_p2 = np.concatenate(
-            [cells, mesh.n_points + cell_edges], axis=1).astype(np.int32)
-        self.cell_p1 = mesh.cells.astype(np.int32)
-
-        # P2 node coordinates (vertices + edge midpoints), used for BC
-        # interpolation (deal.II interpolate_boundary_values equivalent,
-        # src/NavierStokes.cpp:296-324) and VTU output.
+        kv, kp = degree_velocity, degree_pressure
+        self.degree_velocity, self.degree_pressure = kv, kp
         ea = (uniq // np.int64(mesh.n_points)).astype(np.int64)
         eb = (uniq % np.int64(mesh.n_points)).astype(np.int64)
-        mids = 0.5 * (mesh.points[ea] + mesh.points[eb])
-        self.p2_coords = np.concatenate([mesh.points, mids], axis=0)
         self._edge_key_sorted = uniq  # sorted by construction (np.unique)
         self._edge_verts = np.stack([ea, eb], axis=1)   # (n_edges, 2)
+        self._face_key_sorted = None
+        self._face_node = None
 
-        # node-id maps (identity unless spatial renumbering below)
-        self._vertex_node = np.arange(mesh.n_points, dtype=np.int64)
-        self._edge_node = mesh.n_points + np.arange(self.n_edges,
-                                                    dtype=np.int64)
+        if kv == 2:
+            # ---- production P2 fast path (layout unchanged since round 1)
+            self.n_p2 = mesh.n_points + self.n_edges
+            # cell -> P2 node map, local order = vertices then edges
+            # (matches reference_elements shape ordering)
+            self.cell_p2 = np.concatenate(
+                [cells, mesh.n_points + cell_edges], axis=1).astype(np.int32)
+            mids = 0.5 * (mesh.points[ea] + mesh.points[eb])
+            # P2 node coordinates (vertices + edge midpoints), used for BC
+            # interpolation (deal.II interpolate_boundary_values equivalent,
+            # src/NavierStokes.cpp:296-324) and VTU output.
+            self.p2_coords = np.concatenate([mesh.points, mids], axis=0)
+            # node-id maps (identity unless spatial renumbering below)
+            self._vertex_node = np.arange(mesh.n_points, dtype=np.int64)
+            self._edge_node_block = (
+                mesh.n_points + np.arange(self.n_edges,
+                                          dtype=np.int64)[:, None])
+        else:
+            # ---- arbitrary velocity degree (reference ctor generality,
+            # src/NavierStokes.hpp:173-178): degree-kv lattice numbering
+            num = _lagrange_numbering(mesh, kv, cells, cell_edges,
+                                      self._edge_verts)
+            (self.n_p2, self.cell_p2, self.p2_coords,
+             self._edge_node_block, self._face_key_sorted,
+             self._face_node) = num
+            self._vertex_node = np.arange(mesh.n_points, dtype=np.int64)
+
+        if kp == 1:
+            self.n_p1 = mesh.n_points
+            self.cell_p1 = mesh.cells.astype(np.int32)
+        else:
+            # higher-order pressure: its own lattice node set (e.g. P2
+            # pressure of the P3/P2 pair)
+            npp = _lagrange_numbering(mesh, kp, cells, cell_edges,
+                                      self._edge_verts)
+            self.n_p1, self.cell_p1 = npp[0], npp[1]
+            self._p_coords = npp[2]
         if rcm:
             self._reorder_p2()
 
@@ -175,7 +283,9 @@ class TaylorHoodSpace:
         self.cell_p2 = inv[self.cell_p2.astype(np.int64)].astype(np.int32)
         self.p2_coords = np.ascontiguousarray(self.p2_coords[perm])
         self._vertex_node = inv[self._vertex_node]
-        self._edge_node = inv[self._edge_node]
+        self._edge_node_block = inv[self._edge_node_block]
+        if self._face_node is not None:
+            self._face_node = inv[self._face_node]
 
     # ---- curved (superparametric) boundary geometry ----------------------
 
@@ -196,6 +306,11 @@ class TaylorHoodSpace:
         (mesh/domain2D.geo:10) so the polygonal error shrinks with h; here
         the error drops to O(h^3) at any resolution.  Returns the tags that
         had faces to snap."""
+        if self.degree_velocity != 2:
+            raise NotImplementedError(
+                "curved (superparametric) boundary snapping moves the P2 "
+                "midside geometry nodes; degree != 2 velocity spaces use "
+                "straight (affine) cells")
         snapped = []
         new_nodes = []
         for tag, proj in projectors.items():
@@ -207,8 +322,8 @@ class TaylorHoodSpace:
             d = faces.shape[1]
             for i in range(d):
                 for j in range(i + 1, d):
-                    en.append(self._edge_node[
-                        self.edge_id(faces[:, i], faces[:, j])])
+                    en.append(self._edge_node_block[
+                        self.edge_id(faces[:, i], faces[:, j]), 0])
             en = np.unique(np.concatenate(en))
             self.p2_coords[en] = np.asarray(proj(self.p2_coords[en]))
             new_nodes.append(en)
@@ -259,13 +374,25 @@ class TaylorHoodSpace:
         return self._curved_cache
 
     def pressure_at_p2_nodes(self, p: np.ndarray) -> np.ndarray:
-        """Prolong a P1 (vertex) pressure field to all P2 nodes (exact for
-        P1): vertices keep values, edge midpoints average their endpoints.
+        """Prolong the pressure field to all velocity nodes (exact: the
+        pressure space is a subspace of the velocity space pointwise).
         Used for pointwise VTU output."""
-        out = np.zeros(self.n_p2, dtype=np.asarray(p).dtype)
-        out[self._vertex_node] = p
-        out[self._edge_node] = 0.5 * (p[self._edge_verts[:, 0]]
-                                      + p[self._edge_verts[:, 1]])
+        p = np.asarray(p)
+        if self.degree_velocity == 2 and self.degree_pressure == 1:
+            out = np.zeros(self.n_p2, dtype=p.dtype)
+            out[self._vertex_node] = p
+            out[self._edge_node_block[:, 0]] = 0.5 * (
+                p[self._edge_verts[:, 0]] + p[self._edge_verts[:, 1]])
+            return out
+        # generic: evaluate the pressure basis at the velocity lattice
+        # points cell-by-cell (consistent across cells by continuity)
+        from navierstokes_tpu.fem.reference_elements import (node_ref_coords,
+                                                             shape_values)
+        Np = shape_values(self.dim, self.degree_pressure,
+                          node_ref_coords(self.dim, self.degree_velocity))
+        out = np.zeros(self.n_p2, dtype=p.dtype)
+        out[self.cell_p2.astype(np.int64).reshape(-1)] = np.einsum(
+            "lj,cj->cl", Np, p[self.cell_p1.astype(np.int64)]).reshape(-1)
         return out
 
     # ---- DoF queries -----------------------------------------------------
@@ -293,8 +420,9 @@ class TaylorHoodSpace:
         return idx
 
     def p2_nodes_on_faces(self, faces: np.ndarray) -> np.ndarray:
-        """Unique P2 node ids lying on the given facets (vertices + facet
-        edges)."""
+        """Unique velocity-node ids lying on the given facets: vertices,
+        every facet-edge lattice node, and (3D, degree 3) the facet's
+        interior node."""
         if len(faces) == 0:
             return np.zeros((0,), np.int64)
         faces = np.asarray(faces, np.int64)
@@ -302,8 +430,14 @@ class TaylorHoodSpace:
         d = faces.shape[1]
         for i in range(d):
             for j in range(i + 1, d):
-                nodes.append(self._edge_node[
-                    self.edge_id(faces[:, i], faces[:, j])])
+                eid = self.edge_id(faces[:, i], faces[:, j])
+                nodes.append(self._edge_node_block[eid].ravel())
+        if self._face_node is not None and d == 3:
+            npnt = self.mesh.n_points
+            fs = np.sort(faces, axis=1)
+            key = (fs[:, 0] * npnt + fs[:, 1]) * npnt + fs[:, 2]
+            idx = np.searchsorted(self._face_key_sorted, key)
+            nodes.append(self._face_node[idx])
         return np.unique(np.concatenate(nodes))
 
     def p2_nodes_on_tag(self, tag: int) -> np.ndarray:
@@ -360,7 +494,8 @@ class TaylorHoodSpace:
             # ops/assembly.build_face_arrays).
             fdim = dim - 1
             vn = self._vertex_node[verts]                  # (n_f, dim)
-            en = [self._edge_node[self.edge_id(verts[:, i], verts[:, j])]
+            en = [self._edge_node_block[
+                      self.edge_id(verts[:, i], verts[:, j]), 0]
                   for i, j in edges_of(fdim)]
             fnodes = np.concatenate([vn, np.stack(en, axis=1)], axis=1)
             FX = self.p2_coords[fnodes]                    # (n_f, n_geo, dim)

@@ -93,6 +93,7 @@ class StepParams:
     mp_lumped: object       # (n_p1,) lumped pressure mass
     bj_plan: object         # BlockJacobiPlan | None (F tile preconditioner)
     bj_x0: object           # static tile inverses of A0 (Newton seed)|None
+    bj_tiles0: object       # static tile values (scatter formulation)|None
     # projection-scheme Poisson operator (phi = 0 pinned on the outlet):
     ap_dir: object          # EllBlocked | None
     ap_dir_sc_inv: object
@@ -172,7 +173,8 @@ class NavierStokes:
         # gets from gmsh resolving the circle at local h
         # (mesh/domain2D.geo:10) — see fem/spaces.snap_boundaries.
         proj = getattr(self.mesh, "snap_projectors", None)
-        if cfg.curved_boundary and proj:
+        if (cfg.curved_boundary and proj
+                and self.degree_velocity == 2):  # snapping is P2 geometry
             snapped = sp.snap_boundaries(proj)
             if snapped:
                 k = len(sp.curved_data().ids)
@@ -207,6 +209,16 @@ class NavierStokes:
         # shard_map formulation.
         n_dev = cfg.n_devices if cfg.n_devices > 0 else 1
         self.scat_v = self.scat_p = None
+        if (cfg.operator == "bsr"
+                and (self.degree_velocity, self.degree_pressure) != (2, 1)):
+            # the BSR fast path's block machinery (graph build, Schur
+            # V-cycle, block-Jacobi tiles) is tuned for the production
+            # P2/P1 pair; arbitrary degree pairs run on the generic
+            # element (cells) operator — same math, degree-generic
+            print(f"operator 'bsr' is P2/P1-optimized; degrees "
+                  f"({self.degree_velocity},{self.degree_pressure}) use "
+                  "the generic 'cells' operator")
+            cfg.operator = "cells"
         if n_dev > 1 and cfg.operator != "bsr":
             self.shard_mesh = device_mesh(n_dev)
             self._operator = "cells"
@@ -468,7 +480,8 @@ class NavierStokes:
         self._bj_plan = build_block_jacobi_plan(
             self.ell, S=self.config.bj_tile_blocks
             or max(1, 256 // self.ell.bu),
-            layout=self.config.bj_tiles)
+            layout=self.config.bj_tiles,
+            cell_p2_host=np.asarray(sp.cell_p2))
         # Projection-scheme Poisson operator: the CONSISTENT P1 stiffness
         # Laplacian (IPCS-style), phi pinned to 0 on the outlet P1 nodes
         # when an outflow exists.  NOT the compatible B W B^T: that choice
@@ -525,6 +538,7 @@ class NavierStokes:
         for 3D HBM fit)."""
         cfg = self.config
         self._bj_x0 = None      # Newton seed follows A0 (_bj_seed)
+        self._bj_t0 = None      # static tile base follows A0 (scatter)
         dt = cfg.deltat
         ct = (1.5 if cfg.scheme == "projection" and cfg.proj_bdf2
               else 1.0)
@@ -561,6 +575,26 @@ class NavierStokes:
                               0.5 - 0.5 * jnp.cos(jnp.pi * t / r))
         return f.astype(self.dtype)
 
+    def _bj_tiles0_dev(self):
+        """Static tile base for the "scatter" block-Jacobi formulation:
+        the (n_tiles, SB, SB) diagonals of A0 = c_t M/dt + nu K, gathered
+        ONCE on the host (ops/p1ell.static_tiles_host) — the per-step
+        device work is then only the convection segment-sum."""
+        plan = getattr(self, "_bj_plan", None)
+        if plan is None or plan.layout != "scatter":
+            return None
+        if getattr(self, "_bj_t0", None) is None:
+            from navierstokes_tpu.ops.p1ell import static_tiles_host
+            cfg = self.config
+            ct = (1.5 if cfg.scheme == "projection" and cfg.proj_bdf2
+                  else 1.0)
+            a0 = (ct / cfg.deltat) * self.ell.host_m_blk \
+                + self.nu * self.ell.host_k_blk
+            Cw = self.ell.f_cols.shape[1] * self.ell.bu
+            self._bj_t0 = jnp.asarray(
+                static_tiles_host(plan, plan.host_idx, a0, Cw), jnp.float32)
+        return self._bj_t0
+
     def _bj_seed(self):
         """Static Newton seed for the per-step block-Jacobi tile
         inversion: exact inverses of the BC-masked STATIC operator A0
@@ -578,10 +612,17 @@ class NavierStokes:
             mflat = self.bc.mask[:, 0]
             d = bsr_f_diag(self.ell, self.a0_cell)
             sigma0 = jnp.sum(d * mflat) / jnp.maximum(jnp.sum(mflat), 1.0)
-            self._bj_x0 = jax.jit(
-                lambda plan, f, m, s: block_jacobi_inverse(
-                    plan, f, m, s))(self._bj_plan, self.a0_cell, mflat,
-                                    sigma0)
+            if self._bj_plan.layout == "scatter":
+                t0 = self._bj_tiles0_dev()
+                self._bj_x0 = jax.jit(
+                    lambda plan, m, s, t0: block_jacobi_inverse(
+                        plan, None, m, s, tiles0=t0))(
+                    self._bj_plan, mflat, sigma0, t0)
+            else:
+                self._bj_x0 = jax.jit(
+                    lambda plan, f, m, s: block_jacobi_inverse(
+                        plan, f, m, s))(self._bj_plan, self.a0_cell, mflat,
+                                        sigma0)
         return self._bj_x0
 
     def _params(self) -> StepParams:
@@ -602,6 +643,7 @@ class NavierStokes:
                           mp_lumped=getattr(self, "_mp_lumped", None),
                           bj_plan=getattr(self, "_bj_plan", None),
                           bj_x0=self._bj_seed(),
+                          bj_tiles0=self._bj_tiles0_dev(),
                           ap_dir=getattr(self, "_ap_dir", None),
                           ap_dir_sc_inv=getattr(self, "_ap_dir_sc_inv",
                                                 None),
@@ -653,12 +695,13 @@ class NavierStokes:
             # a0_cell already carries the 3/2 BDF2 mass coefficient
             # (_build_static) — no extra full-size operator temp here
             alpha = 1.5
-            conv = ops.convection(params, 2.0 * u - up)
+            u_adv = 2.0 * u - up
             u_t = (4.0 * u - up) / (2.0 * dt)    # M-weighted history term
         else:
             alpha = 1.0
-            conv = ops.convection(params, u)
+            u_adv = u
             u_t = u / dt
+        conv = ops.convection(params, u_adv)
         f_cell = params.a0_cell + conv
         dt_eff = dt / alpha
         d = ops.f_diag(params, f_cell)
@@ -689,9 +732,19 @@ class NavierStokes:
             return yp
 
         if cfg.f_precond == "bj" and params.bj_plan is not None:
+            bj_kw = {}
+            if params.bj_plan.layout == "scatter":
+                # tile values re-assembled from the per-cell convection
+                # matrices (XLA CSE merges this with ops.convection's
+                # identical element-matrix computation)
+                from navierstokes_tpu.ops.operators import \
+                    convection_matrices
+                bj_kw = dict(c_elem=convection_matrices(
+                    params.cells, params.cells.t_hat, u_adv),
+                    tiles0=params.bj_tiles0)
             inv_tiles = block_jacobi_invert(
                 params.bj_plan, f_cell, mflat, sigma,
-                x0=params.bj_x0, iters=cfg.bj_newton)
+                x0=params.bj_x0, iters=cfg.bj_newton, **bj_kw)
             if use_bf16 or (cfg.bj_bf16
                             and self.dtype == jnp.dtype(jnp.float32)):
                 inv_tiles = inv_tiles.astype(jnp.bfloat16)
@@ -902,9 +955,20 @@ class NavierStokes:
                          if (cfg.inner_bf16 or cfg.bj_bf16)
                          and self.dtype == jnp.dtype(jnp.float32)
                          else self.dtype)
+            bj_kw = {}
+            if params.bj_plan.layout == "scatter":
+                # tile values re-assembled from the per-cell convection
+                # matrices (XLA CSE merges this with ops.convection's
+                # identical element-matrix computation)
+                from navierstokes_tpu.ops.operators import \
+                    convection_matrices
+                bj_kw = dict(c_elem=convection_matrices(
+                    params.cells, params.cells.t_hat, u),
+                    tiles0=params.bj_tiles0)
             inv_tiles = block_jacobi_invert(
                 params.bj_plan, f_cell, mflat, sigma,
-                x0=params.bj_x0, iters=cfg.bj_newton).astype(inv_dtype)
+                x0=params.bj_x0, iters=cfg.bj_newton,
+                **bj_kw).astype(inv_dtype)
             pre_f = lambda r: block_jacobi_apply(params.bj_plan, inv_tiles, r)
         else:
             pre_f = lambda r: r * dinv
@@ -1174,9 +1238,26 @@ class NavierStokes:
             # everything sizable rides as a jit ARG: a closed-over x0
             # (hundreds of MB of tile seeds at 3D scale) would be inlined
             # as HLO constants and blow the tunneled compile-size limit
-            fn = jax.jit(lambda plan, fc, m, x0: block_jacobi_invert(
-                plan, fc, m, sigma, x0=x0, iters=cfg.bj_newton))
-            args = (params.bj_plan, params.a0_cell, mflat, params.bj_x0)
+            if params.bj_plan.layout == "scatter":
+                # scatter rebuild: same element-matrix + segment-sum cost
+                # at u=0 as at the real step state
+                from navierstokes_tpu.ops.operators import \
+                    convection_matrices
+                fn = jax.jit(lambda plan, cells, m, x0, t0:
+                             block_jacobi_invert(
+                                 plan, None, m, sigma, x0=x0,
+                                 iters=cfg.bj_newton, tiles0=t0,
+                                 c_elem=convection_matrices(
+                                     cells, cells.t_hat,
+                                     jnp.zeros((self.space.n_p2, self.dim),
+                                               self.dtype))))
+                args = (params.bj_plan, params.cells, mflat,
+                        params.bj_x0, params.bj_tiles0)
+            else:
+                fn = jax.jit(lambda plan, fc, m, x0: block_jacobi_invert(
+                    plan, fc, m, sigma, x0=x0, iters=cfg.bj_newton))
+                args = (params.bj_plan, params.a0_cell, mflat,
+                        params.bj_x0)
             jax.block_until_ready(fn(*args))               # compile
             t0 = _walltime.perf_counter()
             jax.block_until_ready(fn(*args))

@@ -29,11 +29,16 @@ from navierstokes_tpu.solvers.preconditioners import InnerSolve, make_asimple
 
 class StokesSolver:
     def __init__(self, mesh: Mesh, nu: float = 1.0,
-                 config: SolverConfig | None = None):
+                 config: SolverConfig | None = None,
+                 degree_velocity: int = 2, degree_pressure: int = 1):
         self.config = config or SolverConfig()
         self.nu = nu
         self.mesh = mesh
-        self.space = TaylorHoodSpace(mesh)
+        # arbitrary Taylor-Hood pairs (reference ctor generality,
+        # src/NavierStokes.hpp:173-178); every element/operator kernel
+        # below is degree-generic — tests/test_degrees.py verifies the
+        # P3/P2 orders
+        self.space = TaylorHoodSpace(mesh, degree_velocity, degree_pressure)
         self.dtype = jnp.dtype(self.config.dtype)
         sp = self.space
         self.cells = build_cell_arrays(sp, dtype=self.dtype)

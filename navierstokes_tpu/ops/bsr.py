@@ -107,6 +107,60 @@ class BsrData:
     curv_nodes: object = None    # (k, n_v) int32
     curv_phi: object = None      # (n_cq, n_v)
     curv_dphys: object = None    # (k, n_cq, n_v, dim), w*detJ folded
+    # static segment-aligned chunking of the convection segment-sum: the
+    # (ncon, C) one-hot-expanded rows array is the largest per-step
+    # transient (9.3 GiB at 3.39M DoF 3D — the round-5 OOM in
+    # logs/st_3d1_34M_diag.log); each chunk covers a disjoint contiguous
+    # destination-row range so the chunk outputs concatenate.
+    # ((i0, i1, s0, s1), ...): contribution slice [i0:i1) -> rows [s0:s1)
+    con_splits: tuple = dataclasses.field(metadata=_static,
+                                          default=None)
+
+
+def segsum_splits(seg_host, width: int, n_seg_total: int,
+                  trigger_bytes: float = 4e9,
+                  target_bytes: float = 1.5e9) -> tuple:
+    """Static segment-aligned chunk boundaries for a presorted one-hot
+    segment-sum whose (n, width) f32 rows input would exceed
+    ``trigger_bytes``.  Every chunk covers a disjoint contiguous range of
+    destination segments (boundaries advance to the next segment change),
+    so chunk outputs concatenate with no cross-chunk accumulation.
+    Returns ((i0, i1, s0, s1), ...)."""
+    seg_host = np.asarray(seg_host)
+    n = len(seg_host)
+    bytes_full = n * width * 4
+    if bytes_full <= trigger_bytes:
+        return ((0, n, 0, n_seg_total),)
+    k = int(np.ceil(bytes_full / target_bytes))
+    splits = []
+    i0, s0 = 0, 0
+    for j in range(1, k):
+        tgt = n * j // k
+        while tgt < n and seg_host[tgt] == seg_host[tgt - 1]:
+            tgt += 1
+        if tgt >= n or tgt <= i0:
+            continue
+        s_here = int(seg_host[tgt])
+        splits.append((i0, tgt, s0, s_here))
+        i0, s0 = tgt, s_here
+    splits.append((i0, n, s0, n_seg_total))
+    return tuple(splits)
+
+
+def onehot_segsum(c6, con_row, cpos, seg, width: int, splits, dt_):
+    """rows[n, c] = sum_b c6[con_row[n], b] * (cpos[n, b] == c), reduced by
+    the presorted ``seg`` — in one pass, or chunked per ``splits`` (each
+    chunk emits its own disjoint destination-row range)."""
+    io = jnp.arange(width, dtype=jnp.int32)
+    outs = []
+    for (i0, i1, s0, s1) in splits:
+        ce = jnp.take(c6, con_row[i0:i1], axis=0, mode="clip")
+        W = cpos[i0:i1, :, None].astype(jnp.int32) == io
+        rows = (ce[:, :, None] * W.astype(dt_)).sum(1)
+        outs.append(jax.ops.segment_sum(
+            rows, seg[i0:i1] - s0, num_segments=s1 - s0,
+            indices_are_sorted=True))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 def _block_pairs(rows, cols, bu, bv, n_rb):
@@ -269,6 +323,7 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
         con_fr = np.concatenate(
             [con_fr, np.full(padn, n_vb_ext * bu - 1, np.int64)])
     cpos_dtype = np.int8 if Cw <= 128 else np.int32
+    con_splits = segsum_splits(con_fr, Cw, n_vb_ext * bu)
 
     def reduce_blk(elem_vals):
         out = np.zeros(n_slots)
@@ -366,6 +421,7 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
         con_row=jnp.asarray(con_row.astype(np.int32)),
         con_cpos=jnp.asarray(con_cpos.astype(cpos_dtype)),
         con_seg=jnp.asarray(con_fr.astype(np.int32)),
+        con_splits=con_splits,
         f_cols=jnp.asarray(f_cols.astype(np.int32)),
         ovf_rows=(jnp.asarray(ovf_rows_host.astype(np.int32))
                   if n_or else None),
@@ -556,13 +612,10 @@ def convection_blk(bsr: BsrData, u):
     n_vb_ext, K0 = bsr.f_cols.shape
     Cw = K0 * bu
     c6 = c_elem.reshape(nc * nv, nv)
-    ce = jnp.take(c6, bsr.con_row, axis=0, mode="clip")        # (ncon, nv)
-    io = jnp.arange(Cw, dtype=jnp.int32)
-    W = (bsr.con_cpos[:, :, None].astype(jnp.int32) == io)     # (ncon,nv,C)
-    rows = (ce[:, :, None] * W.astype(dt_)).sum(1)             # (ncon, C)
-    vals = jax.ops.segment_sum(rows, bsr.con_seg,
-                               num_segments=n_vb_ext * bu,
-                               indices_are_sorted=True)
+    splits = bsr.con_splits or ((0, bsr.con_row.shape[0], 0,
+                                 n_vb_ext * bu),)
+    vals = onehot_segsum(c6, bsr.con_row, bsr.con_cpos, bsr.con_seg,
+                         Cw, splits, dt_)
     return vals.reshape(n_vb_ext, bu, Cw)
 
 

@@ -227,16 +227,30 @@ class BlockJacobiPlan:
     S: int = dataclasses.field(metadata=_static)   # block-rows per tile
     bu: int = dataclasses.field(metadata=_static)
     n_p2: int = dataclasses.field(metadata=_static)
-    # tile-gather formulation: "blocked" (gather whole (bu,bu) blocks —
-    # few long gather rows, fast, but the (..., bu, bu) intermediates get
-    # 128/bu-lane-padded by TPU tiling) or "rows" (gather bu-wide rows —
-    # no padded intermediate, HBM-lean, but bu x more gather rows).  See
-    # build_block_jacobi_plan for the auto rule and measurements.
+    # tile formulation: "blocked" (gather whole (bu,bu) blocks — few long
+    # gather rows, fast, but the (..., bu, bu) intermediates get
+    # 128/bu-lane-padded by TPU tiling), "rows" (gather bu-wide rows —
+    # smaller padded intermediate, but still materializes the 8x-padded
+    # (n_vb_ext*bu*KB, bu) reshape of the WHOLE value array: 14.8 GiB at
+    # 3.39M DoF, the round-5 OOM wall), or "scatter" (assemble the tile
+    # values DIRECTLY from the per-cell convection matrices with a
+    # presorted segment-sum, exactly like the flat-value convection
+    # assembly, plus a host-precomputed static base — no gather, no
+    # padded transient, output is the lane-perfect (n_tiles, SB, SB)).
+    # See build_block_jacobi_plan for the auto rule and measurements.
     layout: str = dataclasses.field(metadata=_static, default="rows")
+    # "scatter"-formulation arrays (None otherwise):
+    con_row: object = None   # (ncon,) int32 source row = cell*n_v + a
+    cpos: object = None      # (ncon, n_v) int32 dest column in the tile
+    #                          (-1 = column outside this tile)
+    seg: object = None       # (ncon,) int32 dest tile row, ascending
+    # static segment-aligned chunking of the scatter segment-sum (same
+    # transient-size concern as BsrData.con_splits)
+    splits: tuple = dataclasses.field(metadata=_static, default=None)
 
 
-def build_block_jacobi_plan(bsr, S: int = 8,
-                            layout: str = "auto") -> BlockJacobiPlan:
+def build_block_jacobi_plan(bsr, S: int = 8, layout: str = "auto",
+                            cell_p2_host=None) -> BlockJacobiPlan:
     f_cols = getattr(bsr, "host_f_cols", None)           # (n_vb_ext, KB)
     if f_cols is None:
         f_cols = np.asarray(bsr.f_cols, np.int64)
@@ -289,13 +303,95 @@ def build_block_jacobi_plan(bsr, S: int = 8,
         minor = max(128, bu)
         smajor = max(8, bu)
         padded = (n_vb_ext * KB + n_tiles * S * S) * smajor * minor * 4
-        layout = "blocked" if padded < 8e9 else "rows"
-    return BlockJacobiPlan(idx=jnp.asarray(idx.astype(np.int32)),
-                           n_tiles=n_tiles, S=S, bu=bsr.bu, n_p2=bsr.n_p2,
-                           layout=layout)
+        if padded < 8e9:
+            layout = "blocked"
+        else:
+            # past the blocked budget, prefer the transient-free scatter
+            # assembly; "rows" (its own 8x-padded reshape of the whole
+            # value array: the 3.39M-DoF OOM, logs/st_3d1_34M.log) only
+            # if the cell map was not provided
+            layout = "scatter" if cell_p2_host is not None else "rows"
+    con_row = cpos = seg = None
+    if layout == "scatter":
+        if cell_p2_host is None:
+            raise ValueError("layout='scatter' needs cell_p2_host")
+        cp2 = np.asarray(cell_p2_host, np.int64)          # (nc, nv) UNpadded
+        nc, nv = cp2.shape
+        SB = S * bu
+        r_all = cp2.reshape(-1)                           # row node of (c, a)
+        order = np.argsort(r_all, kind="stable")
+        src = order.astype(np.int64)                      # = c*nv + a
+        seg_np = r_all[order]
+        t_of = seg_np // SB
+        cols = cp2[src // nv]                             # (ncon, nv)
+        cpos_np = cols - (t_of * SB)[:, None]
+        cpos_np = np.where((cpos_np >= 0) & (cpos_np < SB), cpos_np, -1)
+        ncon = -(-len(src) // 8) * 8
+        if ncon > len(src):
+            padn = ncon - len(src)
+            src = np.concatenate([src, np.zeros(padn, np.int64)])
+            cpos_np = np.concatenate(
+                [cpos_np, np.full((padn, nv), -1, np.int64)])
+            seg_np = np.concatenate(
+                [seg_np, np.full(padn, n_tiles * SB - 1, np.int64)])
+        con_row = jnp.asarray(src.astype(np.int32))
+        cpos = jnp.asarray(cpos_np.astype(np.int32))
+        seg = jnp.asarray(seg_np.astype(np.int32))
+        from navierstokes_tpu.ops.bsr import segsum_splits
+        splits = segsum_splits(seg_np, SB, n_tiles * SB)
+    else:
+        splits = None
+    ret = BlockJacobiPlan(idx=jnp.asarray(idx.astype(np.int32)),
+                          n_tiles=n_tiles, S=S, bu=bsr.bu, n_p2=bsr.n_p2,
+                          layout=layout, con_row=con_row, cpos=cpos,
+                          seg=seg, splits=splits)
+    # host copy for static_tiles_host (never pull the device idx back over
+    # a tunneled TPU); plain attribute — survives on the model-side object,
+    # not through pytree flattening
+    ret.host_idx = idx
+    return ret
 
 
-def block_jacobi_tiles(plan: BlockJacobiPlan, f_blk, mask_flat, sigma):
+def static_tiles_host(plan: BlockJacobiPlan, idx_host, a0_flat_host,
+                      Cw: int) -> np.ndarray:
+    """Host (numpy) gather of the STATIC operator's tile diagonals for the
+    "scatter" formulation: tiles0[t, s*bu+i, s2*bu+j] =
+    a0[idx[t,s,s2] + i*Cw + j].  Computed once per (dt, nu) at setup —
+    the per-step convection part is then segment-summed on device
+    (block_jacobi_tiles) with no gather at all."""
+    bu, S = plan.bu, plan.S
+    a0e = np.concatenate([np.asarray(a0_flat_host, np.float64).reshape(-1),
+                          np.zeros(bu * Cw)])
+    base = np.asarray(idx_host, np.int64)                  # (t, S, S)
+    off = np.arange(bu)[:, None] * Cw + np.arange(bu)[None, :]  # (bu, bu)
+    g = a0e[base[:, :, None, :, None] + off[None, None, :, None, :]]
+    # (t, s, i, s2, j) -> (t, s*bu+i, s2*bu+j)
+    SB = S * bu
+    return np.ascontiguousarray(g.reshape(plan.n_tiles, SB, SB))
+
+
+def _tiles_scatter(plan: BlockJacobiPlan, c_elem, tiles0):
+    """Device tile assembly for the "scatter" formulation: per-cell
+    convection element matrices -> tile values via one-hot row expansion
+    + presorted segment-sum (the same mechanism as the flat-value
+    convection assembly, ops/bsr.convection_blk), added onto the static
+    base.  No gather from the value array, no lane-padded transient —
+    the round-5 fix for the 14.8 GiB 'rows'-reshape OOM at 3.39M DoF."""
+    SB = plan.S * plan.bu
+    if c_elem is None:
+        return tiles0
+    from navierstokes_tpu.ops.bsr import onehot_segsum
+    nv = c_elem.shape[-1]
+    c6 = c_elem.reshape(-1, nv)
+    splits = plan.splits or ((0, plan.con_row.shape[0], 0,
+                              plan.n_tiles * SB),)
+    t = onehot_segsum(c6, plan.con_row, plan.cpos, plan.seg, SB, splits,
+                      c_elem.dtype)
+    return tiles0 + t.reshape(plan.n_tiles, SB, SB).astype(tiles0.dtype)
+
+
+def block_jacobi_tiles(plan: BlockJacobiPlan, f_blk, mask_flat, sigma,
+                       c_elem=None, tiles0=None):
     """Gather the tile diagonals of the BC-masked F.
 
     f_blk: flat row-major (n_vb_ext, bu, KB*bu) — see ops/bsr.BsrData;
@@ -313,8 +409,17 @@ def block_jacobi_tiles(plan: BlockJacobiPlan, f_blk, mask_flat, sigma):
     A scalar-element-wise gather (n_tiles*SB*SB single-element rows) is
     catastrophically slow: SECONDS per rebuild at 1M DoF (the interim
     round-4 regression, 1.9 -> 0.35 steps/s)."""
-    n_vb, bu, C = f_blk.shape
+    bu = plan.bu
     SB = plan.S * bu
+    if plan.layout == "scatter":
+        t = _tiles_scatter(plan, c_elem, tiles0)
+        n = plan.n_tiles * SB
+        m = jnp.pad(mask_flat, (0, n - plan.n_p2)).reshape(plan.n_tiles, SB)
+        t = t * m[:, :, None] * m[:, None, :]
+        eye = jnp.eye(SB, dtype=t.dtype)
+        t = t + (sigma * (1.0 - m))[:, :, None] * eye[None]
+        return t.astype(jnp.float32)
+    n_vb, bu, C = f_blk.shape
     KB = C // bu
     if plan.layout == "blocked":
         # gather whole (bu, bu) blocks: derive the block index v*KB + k
@@ -351,16 +456,19 @@ def block_jacobi_tiles(plan: BlockJacobiPlan, f_blk, mask_flat, sigma):
     return t.astype(jnp.float32)
 
 
-def block_jacobi_inverse(plan: BlockJacobiPlan, f_blk, mask_flat, sigma):
+def block_jacobi_inverse(plan: BlockJacobiPlan, f_blk, mask_flat, sigma,
+                         c_elem=None, tiles0=None):
     """Per-step exact tile inverse (batched LU).  ~326 ms/step at 1M DoF
     on v5e — the time loop uses block_jacobi_invert (Newton-Schulz from
     a static seed) instead; this exact form computes that seed."""
-    t = block_jacobi_tiles(plan, f_blk, mask_flat, sigma)
-    return jnp.linalg.inv(t).astype(f_blk.dtype)
+    t = block_jacobi_tiles(plan, f_blk, mask_flat, sigma,
+                           c_elem=c_elem, tiles0=tiles0)
+    out_dtype = f_blk.dtype if f_blk is not None else t.dtype
+    return jnp.linalg.inv(t).astype(out_dtype)
 
 
 def block_jacobi_invert(plan: BlockJacobiPlan, f_blk, mask_flat, sigma,
-                        x0=None, iters: int = 3):
+                        x0=None, iters: int = 3, c_elem=None, tiles0=None):
     """Per-step tile inverses: Newton-Schulz from a static seed, with an
     exact-LU fallback under a contraction guard.
 
@@ -374,9 +482,11 @@ def block_jacobi_invert(plan: BlockJacobiPlan, f_blk, mask_flat, sigma,
     lax.cond falls back to the exact LU for that step.  The result is a
     deterministic function of the step state (no cross-step carry), so
     checkpoint restarts stay bit-for-bit."""
-    a = block_jacobi_tiles(plan, f_blk, mask_flat, sigma)
+    a = block_jacobi_tiles(plan, f_blk, mask_flat, sigma,
+                           c_elem=c_elem, tiles0=tiles0)
+    out_dtype = f_blk.dtype if f_blk is not None else a.dtype
     if x0 is None or iters <= 0:
-        return jnp.linalg.inv(a).astype(f_blk.dtype)
+        return jnp.linalg.inv(a).astype(out_dtype)
     x = x0.astype(jnp.float32)
     ax = jnp.matmul(a, x, preferred_element_type=jnp.float32)
     eye = jnp.eye(a.shape[-1], dtype=jnp.float32)
@@ -394,7 +504,7 @@ def block_jacobi_invert(plan: BlockJacobiPlan, f_blk, mask_flat, sigma,
 
     inv = jax.lax.cond(r < 0.9, newton,
                        lambda _: jnp.linalg.inv(a), None)
-    return inv.astype(f_blk.dtype)
+    return inv.astype(out_dtype)
 
 
 def block_jacobi_apply(plan: BlockJacobiPlan, inv_tiles, r):

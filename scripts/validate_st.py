@@ -42,6 +42,9 @@ ap.add_argument("--wake-levels", type=int, default=None,
                 help="extra wake-band refinement levels (2d2 default 1)")
 ap.add_argument("--bsr-block", type=int, default=0,
                 help="BSR block size (0 = auto, see SolverConfig)")
+ap.add_argument("--f-precond", default="bj", choices=["bj", "diag"],
+                help="momentum-solve preconditioner (diag avoids the "
+                     "block-Jacobi tile machinery: HBM-lean at >2M DoF)")
 args = ap.parse_args()
 if args.hz is not None and args.case != "3d1":
     print("note: --hz is only used for 3d1; ignoring", file=sys.stderr)
@@ -100,6 +103,7 @@ if args.dt is not None:
 
 cfg = SolverConfig(dtype=dtype, nu=1.0e-3, ref_length=0.1,
                    force_formula="st", scheme=scheme, refine=args.refine,
+                   f_precond=args.f_precond,
                    proj_f_maxiter=100, proj_p_maxiter=50,
                    curved_boundary=not args.no_curved,
                    bsr_block=args.bsr_block,

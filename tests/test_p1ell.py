@@ -61,6 +61,81 @@ def test_coarse_from_ell(setup):
     assert np.allclose(sc, R.T @ Apd @ R, atol=1e-9)
 
 
+def test_block_jacobi_scatter_matches_gather():
+    """The round-5 "scatter" tile formulation (per-cell convection
+    segment-sum + host static base — no gather, no lane-padded transient;
+    the 3.39M-DoF 3D enabler) must produce bit-identical tiles to the
+    gather formulations on a real cylinder mesh with real convection and
+    BC masking."""
+    import jax
+
+    from navierstokes_tpu.mesh import channel_with_cylinder_2d
+    from navierstokes_tpu.ops.operators import convection_matrices
+    from navierstokes_tpu.ops.p1ell import (block_jacobi_tiles,
+                                            static_tiles_host)
+
+    mesh = channel_with_cylinder_2d(h=0.05, h_near=0.02)
+    sp = TaylorHoodSpace(mesh)
+    cells = cell_arrays_numpy(sp)
+    bsr = B.build_bsr(sp, cells, row_multiple=128, static_device=False,
+                      f_kmax=-1, dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((sp.n_p2, 2)))
+    a0_host = 150.0 * bsr.host_m_blk + 1e-3 * bsr.host_k_blk
+    f_cell = jnp.asarray(a0_host) + B.convection_blk(bsr, u)
+    mask = jnp.asarray((rng.random(sp.n_p2) > 0.1).astype(np.float64))
+    sigma = jnp.asarray(3.7)
+    ref = None
+    for layout in ("rows", "blocked", "scatter"):
+        plan = build_block_jacobi_plan(bsr, S=16, layout=layout,
+                                       cell_p2_host=np.asarray(sp.cell_p2))
+        if layout == "scatter":
+            assert plan.con_row is not None and plan.seg is not None
+            Cw = bsr.f_cols.shape[1] * bsr.bu
+            t0 = jnp.asarray(
+                static_tiles_host(plan, plan.host_idx, a0_host, Cw))
+            c_elem = convection_matrices(bsr, bsr.t_hat, u)
+            t = block_jacobi_tiles(plan, None, mask, sigma,
+                                   c_elem=c_elem, tiles0=t0)
+        else:
+            t = block_jacobi_tiles(plan, f_cell, mask, sigma)
+        t = np.asarray(t)
+        if ref is None:
+            ref = t
+        else:
+            err = np.abs(t - ref).max() / np.abs(ref).max()
+            assert err < 1e-11, (layout, err)
+
+
+def test_projection_step_scatter_tiles_end_to_end():
+    """One projection step with bj_tiles='scatter' matches the 'blocked'
+    gather formulation to solver tolerance (same preconditioner algebra,
+    different assembly route)."""
+    from navierstokes_tpu.mesh import channel_with_cylinder_2d
+    from navierstokes_tpu.models.navier_stokes import NavierStokes
+
+    mesh = channel_with_cylinder_2d(h=0.06, h_near=0.03)
+    results = {}
+    for layout in ("blocked", "scatter"):
+        cfg = SolverConfig(dtype="float64", scheme="projection",
+                           bj_tiles=layout,
+                           output_dir="/tmp/bjsc/o", cache_dir="/tmp/bjsc/c",
+                           csv_path="/tmp/bjsc/f.csv")
+        inlet = InletConfig(kind="parabolic", u_m=1.5, height=0.41)
+        ns = NavierStokes(mesh, 2, 1, deltat=0.01, T=0.05, step=0,
+                          inlet=inlet, config=cfg)
+        ns.set_re_number(100)
+        ns.setup()
+        assert ns._bj_plan.layout == layout
+        ns._init_state(0)
+        for _ in range(3):
+            ns.solve_time_step()
+        results[layout] = (np.asarray(ns._u), np.asarray(ns._p), ns.cd)
+    du = np.abs(results["scatter"][0] - results["blocked"][0]).max()
+    assert du < 1e-6, du
+    assert abs(results["scatter"][2] - results["blocked"][2]) < 1e-5
+
+
 @pytest.mark.parametrize("layout", ["blocked", "rows"])
 def test_block_jacobi_inverse(setup, layout):
     sp, cells, bsr = setup
