@@ -1,8 +1,10 @@
-"""Taylor-Hood P2/P1 function space on a simplex mesh.
+"""Taylor-Hood function space on a simplex mesh (production pair P2/P1;
+arbitrary degree pairs supported like the reference ctor,
+src/NavierStokes.hpp:173-178).
 
 Replaces deal.II's FESystem/DoFHandler/DoFRenumbering stack (reference:
 src/NavierStokes.cpp:31-92).  The DoF layout is canonical and global by
-construction:
+construction — for the production P2/P1 pair:
 
   * pressure DoFs  = mesh vertices, index = vertex id          (n_p1,)
   * velocity nodes = vertices then unique edges:               (n_p2,)
@@ -10,10 +12,13 @@ construction:
       node id n_points + e for edge e
   * velocity DoF arrays are stored node-major as (n_p2, dim)
 
-Because this ordering depends only on the mesh (never on the device count),
-checkpoints are automatically restorable at any device count — the property
-the reference needs 214 lines of raw-MPI k-way merging to establish
-(compute_ordered_dofs_indices, src/NavierStokes.cpp:571-784).
+and for any other degree the entity-major generalization in
+``_lagrange_numbering`` (vertices, edge lattice nodes, 3D face nodes,
+cell-interior nodes).  Because the ordering depends only on the mesh
+(never on the device count), checkpoints are automatically restorable at
+any device count — the property the reference needs 214 lines of raw-MPI
+k-way merging to establish (compute_ordered_dofs_indices,
+src/NavierStokes.cpp:571-784).
 """
 
 from __future__ import annotations
