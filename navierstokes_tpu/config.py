@@ -320,6 +320,15 @@ class SolverConfig:
     # (default; chip-validated at the 1M-DoF bench point: stable, ~6%
     # faster end-to-end, identical physics).
     bsr_f_kmax: int = -1
+    # Overflow split of the G/B (pressure-coupling) block graphs, same
+    # trick applied to the static gradient/divergence values: the unsplit
+    # max-K ELL is only 0.44 / 0.67 full on the 305k-DoF 3D graph, so the
+    # split cuts ~2 GiB of resident HBM at 3.39M DoF (the round-5 3D OOM
+    # margin) plus the matching per-apply traffic.  -2 = auto (split
+    # under the projection scheme; whole rows under monolithic — the CC
+    # coarse assembly needs G block PAIRS within whole rows,
+    # solvers/schur.coarse_matrix); -1 = split; 0 = off.
+    bsr_gb_kmax: int = -2
     # F matvec realization over the BSR values (ops/bsr.apply_f):
     #   "xla"    — per-component gather + fused multiply-reduce (default)
     #   "pallas" — fused multi-component Pallas kernel

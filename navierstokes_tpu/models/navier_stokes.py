@@ -238,11 +238,16 @@ class NavierStokes:
             # combined A0 is uploaded (_build_static) and the per-step
             # M u^n uses the compact node-ELL mass — halves the resident
             # F-family HBM (decisive for 3D fit)
+            gb_kmax = cfg.bsr_gb_kmax
+            if gb_kmax == -2:      # auto: split G/B under projection only
+                # (the monolithic CC coarse assembly contracts G block
+                # PAIRS within whole rows, solvers/schur.coarse_matrix)
+                gb_kmax = -1 if cfg.scheme == "projection" else 0
             self.ell = build_bsr(sp, cells_host, dtype=self.dtype,
                                  bu=blk, bp=blk,
                                  row_multiple=int(np.lcm(ROW_MULT, n_dev)),
                                  static_device=False,
-                                 f_kmax=cfg.bsr_f_kmax)
+                                 f_kmax=cfg.bsr_f_kmax, gb_kmax=gb_kmax)
             # Once-per-step consistent-mass product: the node-ELL form is
             # compact but gathers (1,dim)-rows — measured 66 ms/step at 1M
             # DoF on v5e vs ~6 ms for the blocked form (same graph as F).
@@ -434,6 +439,8 @@ class NavierStokes:
             k_blk=put(e.k_blk) if e.k_blk is not None else None,
             g_cols=put(e.g_cols), g_blk=put(e.g_blk),
             b_cols=put(e.b_cols), b_blk=put(e.b_blk),
+            g_spill=put(e.g_spill) if e.g_spill is not None else None,
+            b_spill=put(e.b_spill) if e.b_spill is not None else None,
             pp_cols=put(e.pp_cols),
         )
         for k, v in host_attrs.items():
@@ -477,11 +484,17 @@ class NavierStokes:
         # at 3D scale (HTTP 413 at 1.74M DoF, logs/st_3d1_17M.log)
         self._ap_lam = estimate_lam_max(
             ell_matvec, sdinv, sp.n_p1, self.dtype, op=self._ap)
-        self._bj_plan = build_block_jacobi_plan(
+        # only when the F preconditioner actually uses the tiles: the plan
+        # + static tile base are ~1.4 GiB resident at 3.39M DoF and the
+        # per-step Newton-Schulz rebuild peaks another ~3 GiB — with
+        # f_precond="diag" none of it may touch HBM
+        # (scripts/exp_hbm_account.py, logs/hbm_acct_34M_diag.log)
+        self._bj_plan = (build_block_jacobi_plan(
             self.ell, S=self.config.bj_tile_blocks
             or max(1, 256 // self.ell.bu),
             layout=self.config.bj_tiles,
             cell_p2_host=np.asarray(sp.cell_p2))
+            if self.config.f_precond == "bj" else None)
         # Projection-scheme Poisson operator: the CONSISTENT P1 stiffness
         # Laplacian (IPCS-style), phi pinned to 0 on the outlet P1 nodes
         # when an outflow exists.  NOT the compatible B W B^T: that choice

@@ -24,6 +24,7 @@ src/NavierStokes.cpp:154-294).
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax
 import jax.numpy as jnp
@@ -85,10 +86,18 @@ class BsrData:
     # pressure coupling (static)
     # G/B use the same flat row-major idea as F: per-component panels with
     # the (slot, within-block-col) axes folded into the 128-multiple minor
-    g_cols: jax.Array            # (n_vb, KG) int32 pressure-block columns
-    g_blk: jax.Array             # (n_vb, dim, bu, KG*bp)
-    b_cols: jax.Array            # (n_pb, KBb) int32 velocity-block columns
-    b_blk: jax.Array             # (n_pb, bp, KBb*bu*dim), inner (k, j, d)
+    # With the G/B overflow split (build_bsr gb_kmax=-1) the row counts
+    # are EXTENDED (physical rows + virtual spill rows); g_spill/b_spill
+    # are per-PHYSICAL-row gather tables of virtual-row indices (padded
+    # with the one-past-the-end dead index) so the apply folds spills
+    # with a gather + tiny-axis sum instead of a scatter.  Measured fill
+    # of the unsplit max-K ELL on the 305k-DoF 3D graph: G 0.44, B 0.67
+    # (scripts/exp_hbm_account.py) — the split cuts the static G/B value
+    # storage and per-apply HBM traffic by ~2.3x / ~1.4x.
+    g_cols: jax.Array            # (n_vbg_ext, KG) int32 pressure-block cols
+    g_blk: jax.Array             # (n_vbg_ext, dim, bu, KG*bp)
+    b_cols: jax.Array            # (n_pb_ext, KBb) int32 velocity-block cols
+    b_blk: jax.Array             # (n_pb_ext, bp, KBb*bu*dim), inner (k, j, d)
     # pressure-pressure graph (for the PCD convection operator)
     pp_cols: jax.Array           # (n_pb, KPP) int32 pressure-block columns
     pp_slot_scatter: Scatter     # (nc*n_p*n_p,) -> flat PP slots
@@ -101,6 +110,11 @@ class BsrData:
     bp: int = dataclasses.field(metadata=_static)
     n_vb: int = dataclasses.field(metadata=_static, default=0)  # physical
     # block rows (0 => f_cols.shape[0], i.e. no overflow split)
+    n_pb: int = dataclasses.field(metadata=_static, default=0)  # physical
+    # pressure block rows (0 => b_cols.shape[0])
+    # G/B overflow-split spill tables (see g_cols/b_cols docs above)
+    g_spill: object = None       # None | (n_vb, Sg) int32
+    b_spill: object = None       # None | (n_pb, Sb) int32
     # curved (boundary-snapped) cell subset for the per-step convection fix
     # (see ops/assembly.CellArrays.curv_* and operators.convection_matrices)
     curv_ids: object = None      # (k,) int32
@@ -189,11 +203,70 @@ def _block_pairs(rows, cols, bu, bv, n_rb):
     return table, K, uk, ru, k_of, stride
 
 
+def _split_overflow(pr_row, k_of, cols_of_pair, n_rb, k_step, rup):
+    """Overflow split of a block-ELL graph (the F-graph trick, reusable).
+
+    Rows with more than K0 column slots spill the excess into virtual
+    rows appended after the physical ones; K0 is chosen among multiples
+    of ``k_step`` (keeps the flat value minor axis 128-lane aligned) to
+    minimize total extended storage (n_rb + n_virt) * K0.  Unlike the F
+    split (which scatter-folds), the returned ``spill`` table maps each
+    PHYSICAL row to its virtual rows (dead entries = n_ext, one past the
+    end) so applies fold with a gather + short-axis sum.
+
+    Returns (vrow (n_pairs,), kext (n_pairs,), cols (n_ext, K0),
+    spill (n_rb, S) | None, n_ext, K0)."""
+    counts = np.bincount(pr_row, minlength=n_rb)
+    kmax = max(1, int(counts.max()) if len(counts) else 1)
+    cands = list(range(k_step, kmax + k_step, k_step))
+
+    def _cost(k0):
+        spillc = np.maximum(counts - k0, 0)
+        return (n_rb + int(np.ceil(spillc / k0).sum())) * k0
+
+    K0 = min(cands, key=_cost)
+    over = k_of >= K0
+    if not over.any():
+        cols = np.zeros((n_rb, K0), dtype=np.int64)
+        cols[pr_row, k_of] = cols_of_pair
+        return pr_row, k_of, cols, None, n_rb, K0
+    chunk = (k_of[over] - K0) // K0                 # spill chunk per pair
+    vkey = pr_row[over].astype(np.int64) * 64 + chunk   # chunk < 64 always
+    uniq, vinv = np.unique(vkey, return_inverse=True)
+    n_or = rup(len(uniq))
+    n_ext = n_rb + n_or
+    vrow = np.where(over, 0, pr_row).astype(np.int64)
+    vrow[over] = n_rb + vinv
+    kext = np.where(over, (k_of - K0) % K0, k_of)
+    cols = np.zeros((n_ext, K0), dtype=np.int64)
+    cols[vrow, kext] = cols_of_pair
+    rows_u = (uniq // 64).astype(np.int64)
+    counts_u = np.bincount(rows_u, minlength=n_rb)
+    S = int(counts_u.max())
+    first = np.zeros(n_rb + 1, dtype=np.int64)
+    np.cumsum(counts_u, out=first[1:])
+    within = np.arange(len(uniq)) - first[rows_u]
+    spill = np.full((n_rb, S), n_ext, dtype=np.int64)
+    spill[rows_u, within] = n_rb + np.arange(len(uniq))
+    return vrow, kext, cols, spill, n_ext, K0
+
+
+def _fold_spills(spill, y, n_phys):
+    """Fold virtual-row partial sums into their physical rows via the
+    per-physical-row spill gather table.  y: (n_ext, ...) ->
+    (n_phys, ...).  Dead table entries point one past the end of y; the
+    appended zero row makes them no-ops (mode='clip' then hits it)."""
+    if spill is None:
+        return y
+    yz = jnp.concatenate([y, jnp.zeros_like(y[:1])], axis=0)
+    return y[:n_phys] + jnp.take(yz, spill, axis=0, mode="clip").sum(axis=1)
+
+
 def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
               bu: int | None = None, bp: int | None = None,
               row_multiple: int = 1,
               static_device: bool = True,
-              f_kmax: int = 0) -> BsrData:
+              f_kmax: int = 0, gb_kmax: int = 0) -> BsrData:
     """Host construction.  ``cells`` = numpy CellArrays
     (assembly.cell_arrays_numpy).
 
@@ -347,39 +420,58 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
     grad = np.asarray(cells.grad, np.float64)            # (nc, nv, dim, npp)
     g_rows = np.repeat(cp2, npp, axis=1).reshape(-1)
     g_cols_flat = np.tile(cp1, (1, nv)).reshape(-1)
-    g_cols, KG, gkeys, _, gk_of, gstride = _block_pairs(
+    g_tab, KG, gkeys, g_ru, gk_of, gstride = _block_pairs(
         g_rows, g_cols_flat, bu, bp, n_vb)
+    g_tab_full = g_tab        # physical (unsplit) table, for host consumers
+    g_spill = None
+    n_vbg = n_vb
+    if gb_kmax == -1:
+        g_vrow, g_kext, g_tab, g_spill, n_vbg, KG = _split_overflow(
+            g_ru, gk_of, (gkeys % gstride).astype(np.int64), n_vb,
+            128 // math.gcd(128, bp), rup)
+    else:
+        g_vrow, g_kext = g_ru, gk_of
     gwant = (g_rows // bu).astype(np.int64) * gstride + (g_cols_flat // bp)
     gpos = np.searchsorted(gkeys, gwant)
-    gkb = gk_of[gpos]
-    GI = g_rows // bu
-    # slot layout: (n_vb, dim, bu, KG*bp) — flat row-major per component
-    g_vals = np.zeros(n_vb * KG * dim * bu * bp)
+    gkb = g_kext[gpos]
+    GI = g_vrow[gpos]
+    # slot layout: (n_vbg, dim, bu, KG*bp) — flat row-major per component
+    g_vals = np.zeros(n_vbg * KG * dim * bu * bp)
     vals = grad.transpose(0, 1, 3, 2).reshape(-1, dim)   # (nc*nv*npp, dim)
     for d in range(dim):
         gslot = (((GI * dim + d) * bu + g_rows % bu) * KG + gkb) * bp \
                 + (g_cols_flat % bp)
         np.add.at(g_vals, gslot, vals[:, d])
-    g_blk = g_vals.reshape(n_vb, dim, bu, KG * bp)
+    g_blk = g_vals.reshape(n_vbg, dim, bu, KG * bp)
+    g_cols = g_tab
 
     # ---- B (p rows, u cols), static ----------------------------------------
     b_rows = np.repeat(cp1, nv, axis=1).reshape(-1)
     b_cols_flat = np.tile(cp2, (1, npp)).reshape(-1)
-    b_cols, KBb, bkeys, _, bk_of, bstride = _block_pairs(
+    b_tab, KBb, bkeys, b_ru, bk_of, bstride = _block_pairs(
         b_rows, b_cols_flat, bp, bu, n_pb)
+    b_spill = None
+    n_pbe = n_pb
+    if gb_kmax == -1:
+        b_vrow, b_kext, b_tab, b_spill, n_pbe, KBb = _split_overflow(
+            b_ru, bk_of, (bkeys % bstride).astype(np.int64), n_pb,
+            128 // math.gcd(128, bu * dim), rup)
+    else:
+        b_vrow, b_kext = b_ru, bk_of
     bwant = (b_rows // bp).astype(np.int64) * bstride + (b_cols_flat // bu)
     bpos = np.searchsorted(bkeys, bwant)
-    bkb = bk_of[bpos]
-    BI = b_rows // bp
-    # slot layout: (n_pb, bp, KBb*bu*dim) with inner (k, j, d) — matches
+    bkb = b_kext[bpos]
+    BI = b_vrow[bpos]
+    # slot layout: (n_pbe, bp, KBb*bu*dim) with inner (k, j, d) — matches
     # the natural (k, j, d) order of the gathered velocity blocks
-    b_vals = np.zeros(n_pb * KBb * dim * bp * bu)
+    b_vals = np.zeros(n_pbe * KBb * dim * bp * bu)
     bsrc = grad.transpose(0, 3, 1, 2).reshape(-1, dim)   # (nc*npp*nv, dim)
     for d in range(dim):
         bslot = ((((BI * bp + b_rows % bp) * KBb + bkb) * bu
                   + b_cols_flat % bu) * dim) + d
         np.add.at(b_vals, bslot, bsrc[:, d])
-    b_blk = b_vals.reshape(n_pb, bp, KBb * bu * dim)
+    b_blk = b_vals.reshape(n_pbe, bp, KBb * bu * dim)
+    b_cols = b_tab
 
     # ---- P1-P1 pressure graph (PCD convection), per-step values ----------
     p_rows = np.repeat(cp1, npp, axis=1).reshape(-1)
@@ -430,11 +522,15 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
         k_blk=f(k_blk) if static_device else None,
         g_cols=jnp.asarray(g_cols.astype(np.int32)), g_blk=f(g_blk),
         b_cols=jnp.asarray(b_cols.astype(np.int32)), b_blk=f(b_blk),
+        g_spill=(jnp.asarray(g_spill.astype(np.int32))
+                 if g_spill is not None else None),
+        b_spill=(jnp.asarray(b_spill.astype(np.int32))
+                 if b_spill is not None else None),
         pp_cols=jnp.asarray(pp_cols.astype(np.int32)),
         pp_slot_scatter=pp_plan,
         tp_hat=f(space.rs.Tp_hat),
         cell_p1=jnp.asarray(pad_cells(space.cell_p1, nc_pad)),
-        n_p2=n_p2, n_p1=n_p1, bu=bu, bp=bp, n_vb=n_vb,
+        n_p2=n_p2, n_p1=n_p1, bu=bu, bp=bp, n_vb=n_vb, n_pb=n_pb,
     )
     # Host copies of the graph tables, used by setup-time consumers
     # (coarse plan, block-Jacobi plan).  Pulling these back off the device
@@ -442,7 +538,9 @@ def build_bsr(space: TaylorHoodSpace, cells: CellArrays, dtype=jnp.float32,
     # fields) so they exist only on the freshly-built instance.
     out.host_f_cols = f_cols.astype(np.int64)
     out.host_ovf_rows = ovf_rows_host
-    out.host_g_cols = g_cols.astype(np.int64)
+    # always the PHYSICAL (unsplit) G table — the Schur coarse plan
+    # contracts G block PAIRS within whole rows (solvers/schur.py)
+    out.host_g_cols = g_tab_full.astype(np.int64)
     out.host_m_blk = m_blk
     out.host_k_blk = k_blk
     return out
@@ -473,8 +571,12 @@ def _fold_overflow(bsr: BsrData, y):
     return y[:n_vb].at[bsr.ovf_rows].add(y[n_vb:])
 
 
+def _n_pb_phys(bsr: BsrData) -> int:
+    return bsr.n_pb or bsr.b_cols.shape[0]
+
+
 def _pblocks(bsr: BsrData, p):
-    n_pb = bsr.b_cols.shape[0]
+    n_pb = _n_pb_phys(bsr)
     pad = n_pb * bsr.bp - bsr.n_p1
     return jnp.pad(p, (0, pad)).reshape(n_pb, bsr.bp)
 
@@ -514,30 +616,32 @@ def apply_f(bsr: BsrData, f_blk, xu):
 
 def apply_bt(bsr: BsrData, p):
     pb = _pblocks(bsr, p)
-    n_vb = bsr.g_cols.shape[0]
-    pg = jnp.take(pb, bsr.g_cols, axis=0, mode="clip").reshape(n_vb, -1)
-    g = bsr.g_blk                                       # (n_vb,dim,bu,KG*bp)
+    n_ext = bsr.g_cols.shape[0]
+    pg = jnp.take(pb, bsr.g_cols, axis=0, mode="clip").reshape(n_ext, -1)
+    g = bsr.g_blk                                       # (n_ext,dim,bu,KG*bp)
     if g.dtype == jnp.bfloat16:
         prod = g * pg.astype(jnp.bfloat16)[:, None, None, :]
-        y = prod.astype(jnp.float32).sum(-1)            # (n_vb, dim, bu)
+        y = prod.astype(jnp.float32).sum(-1)            # (n_ext, dim, bu)
         y = y.astype(p.dtype)
     else:
         y = (g * pg[:, None, None, :]).sum(-1)
+    y = _fold_spills(bsr.g_spill, y, _n_vb_phys(bsr))
     y = jnp.swapaxes(y, 1, 2)                           # (n_vb, bu, dim)
     return y.reshape(-1, y.shape[2])[:bsr.n_p2]
 
 
 def apply_b(bsr: BsrData, xu):
     ub = _ublocks(bsr, xu)
-    n_pb = bsr.b_cols.shape[0]
+    n_ext = bsr.b_cols.shape[0]
     # natural gathered order (k, j, d) matches the stored inner order
-    ug = jnp.take(ub, bsr.b_cols, axis=0, mode="clip").reshape(n_pb, -1)
-    b = bsr.b_blk                                       # (n_pb,bp,KBb*bu*dim)
+    ug = jnp.take(ub, bsr.b_cols, axis=0, mode="clip").reshape(n_ext, -1)
+    b = bsr.b_blk                                       # (n_ext,bp,KBb*bu*dim)
     if b.dtype == jnp.bfloat16:
         prod = b * ug.astype(jnp.bfloat16)[:, None, :]
         z = prod.astype(jnp.float32).sum(-1).astype(xu.dtype)
     else:
-        z = (b * ug[:, None, :]).sum(-1)                # (n_pb, bp)
+        z = (b * ug[:, None, :]).sum(-1)                # (n_ext, bp)
+    z = _fold_spills(bsr.b_spill, z, _n_pb_phys(bsr))
     return z.reshape(-1)[:bsr.n_p1]
 
 
@@ -553,18 +657,22 @@ def mass_apply(bsr: BsrData, u):
 
 def schur_diag(bsr: BsrData, node_weights):
     wb = _ublocks(bsr, node_weights[:, None])[..., 0]   # (n_vb, bu)
-    n_pb = bsr.b_cols.shape[0]
-    wg = jnp.take(wb, bsr.b_cols, axis=0, mode="clip")  # (n_pb, KBb, bu)
+    n_ext = bsr.b_cols.shape[0]
+    wg = jnp.take(wb, bsr.b_cols, axis=0, mode="clip")  # (n_ext, KBb, bu)
     dim = bsr.b_blk.shape[2] // (bsr.b_cols.shape[1] * bsr.bu)
     wgf = jnp.broadcast_to(wg[..., None],
-                           wg.shape + (dim,)).reshape(n_pb, -1)
+                           wg.shape + (dim,)).reshape(n_ext, -1)
     z = (bsr.b_blk * bsr.b_blk * wgf[:, None, :]).sum(-1)
+    z = _fold_spills(bsr.b_spill, z, _n_pb_phys(bsr))
     return z.reshape(-1)[:bsr.n_p1]
 
 
 def g_blocks(bsr: BsrData):
     """View the flat G values as (n_vb, KG, dim, bu, bp) blocks
     (setup-time consumers only — the apply path reads the flat form)."""
+    assert bsr.g_spill is None, (
+        "g_blocks needs whole-row G tables; build with gb_kmax=0 "
+        "(the Schur coarse plan contracts G pairs within rows)")
     n_vb, KG = bsr.g_cols.shape
     dim = bsr.g_blk.shape[1]
     return bsr.g_blk.reshape(n_vb, dim, bsr.bu, KG, bsr.bp).transpose(

@@ -25,7 +25,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from navierstokes_tpu.ops import df32
-from navierstokes_tpu.ops.bsr import (BsrData, _fold_overflow, _pblocks,
+from navierstokes_tpu.ops.bsr import (BsrData, _fold_overflow, _fold_spills,
+                                      _n_pb_phys, _n_vb_phys, _pblocks,
                                       _ublocks)
 
 
@@ -60,13 +61,17 @@ def apply_bt_df(bsr: BsrData, xp):
     xp_h, xp_l = xp
     pbh = _pblocks(bsr, xp_h)
     pbl = _pblocks(bsr, xp_l)
-    n_vb = bsr.g_cols.shape[0]
-    pgh = jnp.take(pbh, bsr.g_cols, axis=0, mode="clip").reshape(n_vb, -1)
-    pgl = jnp.take(pbl, bsr.g_cols, axis=0, mode="clip").reshape(n_vb, -1)
-    g = bsr.g_blk                                   # (n_vb, dim, bu, C)
+    n_ext = bsr.g_cols.shape[0]
+    pgh = jnp.take(pbh, bsr.g_cols, axis=0, mode="clip").reshape(n_ext, -1)
+    pgl = jnp.take(pbl, bsr.g_cols, axis=0, mode="clip").reshape(n_ext, -1)
+    g = bsr.g_blk                                   # (n_ext, dim, bu, C)
     p, e = df32.two_prod(g, pgh[:, None, None, :])
     e = e + g * pgl[:, None, None, :]
-    yh, yl = df32.df_sum((p, e), axis=-1)           # (n_vb, dim, bu)
+    yh, yl = df32.df_sum((p, e), axis=-1)           # (n_ext, dim, bu)
+    # spill fold: hi/lo separately (same eps-level cap as apply_f_df's
+    # overflow fold above — see that note)
+    yh = _fold_spills(bsr.g_spill, yh, _n_vb_phys(bsr))
+    yl = _fold_spills(bsr.g_spill, yl, _n_vb_phys(bsr))
     d = yh.shape[1]
     yh = jnp.swapaxes(yh, 1, 2).reshape(-1, d)[:bsr.n_p2]
     yl = jnp.swapaxes(yl, 1, 2).reshape(-1, d)[:bsr.n_p2]
@@ -78,13 +83,15 @@ def apply_b_df(bsr: BsrData, xu):
     xu_h, xu_l = xu
     ubh = _ublocks(bsr, xu_h)
     ubl = _ublocks(bsr, xu_l)
-    n_pb = bsr.b_cols.shape[0]
-    ugh = jnp.take(ubh, bsr.b_cols, axis=0, mode="clip").reshape(n_pb, -1)
-    ugl = jnp.take(ubl, bsr.b_cols, axis=0, mode="clip").reshape(n_pb, -1)
-    b = bsr.b_blk                                   # (n_pb, bp, C)
+    n_ext = bsr.b_cols.shape[0]
+    ugh = jnp.take(ubh, bsr.b_cols, axis=0, mode="clip").reshape(n_ext, -1)
+    ugl = jnp.take(ubl, bsr.b_cols, axis=0, mode="clip").reshape(n_ext, -1)
+    b = bsr.b_blk                                   # (n_ext, bp, C)
     p, e = df32.two_prod(b, ugh[:, None, :])
     e = e + b * ugl[:, None, :]
-    zh, zl = df32.df_sum((p, e), axis=-1)           # (n_pb, bp)
+    zh, zl = df32.df_sum((p, e), axis=-1)           # (n_ext, bp)
+    zh = _fold_spills(bsr.b_spill, zh, _n_pb_phys(bsr))
+    zl = _fold_spills(bsr.b_spill, zl, _n_pb_phys(bsr))
     return zh.reshape(-1)[:bsr.n_p1], zl.reshape(-1)[:bsr.n_p1]
 
 

@@ -111,6 +111,41 @@ def test_bsr_overflow_split_parity(problem):
                                    atol=1e-10)
 
 
+def test_bsr_gb_split_parity(problem):
+    """The G/B overflow split (gb_kmax=-1) must reproduce the unsplit
+    pressure-coupling operators exactly: apply_bt, apply_b, schur_diag,
+    and the df32 refine variants (per-row fold via the spill gather
+    table, ops/bsr._fold_spills)."""
+    from navierstokes_tpu.solvers.refine import apply_b_df, apply_bt_df
+    sp, u, p = problem["sp"], problem["u"], problem["p"]
+    bsr = B.build_bsr(sp, problem["host"], dtype=jnp.float64, gb_kmax=-1)
+    # the auto K0 must actually split on these graphs or the test is
+    # vacuous (fill ratios ~0.4-0.7 measured, scripts/exp_hbm_account.py)
+    assert bsr.g_spill is not None or bsr.b_spill is not None
+    gu = B.apply_bt(bsr, p)
+    dv = B.apply_b(bsr, u)
+    bsr0 = B.build_bsr(sp, problem["host"], dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(gu),
+                               np.asarray(B.apply_bt(bsr0, p)), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dv),
+                               np.asarray(B.apply_b(bsr0, u)), atol=1e-12)
+    w = jnp.asarray(np.random.default_rng(3).random(sp.n_p2))
+    np.testing.assert_allclose(np.asarray(B.schur_diag(bsr, w)),
+                               np.asarray(B.schur_diag(bsr0, w)),
+                               atol=1e-12)
+    # df32 variants fold hi/lo through the same spill table
+    z = jnp.zeros_like(p)
+    zu = jnp.zeros_like(u)
+    gh, gl = apply_bt_df(bsr, (p, z))
+    g0h, g0l = apply_bt_df(bsr0, (p, z))
+    np.testing.assert_allclose(np.asarray(gh + gl), np.asarray(g0h + g0l),
+                               atol=1e-12)
+    bh, bl = apply_b_df(bsr, (u, zu))
+    b0h, b0l = apply_b_df(bsr0, (u, zu))
+    np.testing.assert_allclose(np.asarray(bh + bl), np.asarray(b0h + b0l),
+                               atol=1e-12)
+
+
 def test_morton_order_locality():
     rng = np.random.default_rng(0)
     pts = rng.random((4096, 2))
