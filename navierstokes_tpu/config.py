@@ -173,6 +173,21 @@ class SolverConfig:
     # VALIDATION.md for the partial-theta study.  Default 0 (plain
     # incremental scheme).
     proj_p_extrap: float = 0.0
+    # Pressure-Poisson operator of the projection step:
+    #   "laplacian" — assembled consistent P1 stiffness (default; an
+    #       APPROXIMATE projection: the corrected velocity's divergence
+    #       is zero only up to the Lp-vs-B W B^T discrepancy per step)
+    #   "schur" — CG on the COMPATIBLE operator S = B W B^T (W =
+    #       diag(mask/M_lumped), exactly the weights of the velocity
+    #       correction) preconditioned by the SAME Laplacian V-cycle;
+    #       the discrete projection is then exact to the CG tolerance.
+    #       The bare compatible operator was measured to excite a
+    #       growing outflow mode in round 2 (ops/p1ell.assemble_p1_stiffness
+    #       notes); here it is outlet-PINNED like the Laplacian (phi=0
+    #       rows/cols at outlet P1 nodes), which anchors that mode.
+    #       Costs one apply_bt+apply_b pair per CG iteration on top of
+    #       the V-cycle.
+    proj_poisson: str = "laplacian"
     # Relative tolerance of the projection sub-solves.  1e-4 is matched to
     # the O(dt^2) splitting error: measured Cd within 0.3% of the fully
     # (1e-6) converged projection at the 1M-DoF bench point, at ~2.3x less

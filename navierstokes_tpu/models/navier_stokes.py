@@ -823,13 +823,32 @@ class NavierStokes:
             rhs_p = rhs_p * params.ap_dir_pin
         else:
             rhs_p = rhs_p - jnp.mean(rhs_p)
+        if cfg.proj_poisson == "schur":
+            # EXACT discrete projection: CG on the compatible
+            # S = B W B^T (the operator of the velocity correction
+            # below), V-cycle on the assembled Laplacian as the
+            # spectrally-equivalent preconditioner; outlet-pinned like
+            # the Laplacian (see config.proj_poisson)
+            w_col = params.ap_w[:, None]
+            if pinned:
+                pin = params.ap_dir_pin
+
+                def apply_p(xp):
+                    xm = xp * pin
+                    y = apply_B_raw(w_col * apply_Bt_raw(xm))
+                    return y * pin + (xp - xm)
+            else:
+                def apply_p(xp):
+                    return apply_B_raw(w_col * apply_Bt_raw(xp))
+        else:
+            apply_p = apply_ap
         # warm start: phi (the pressure increment) varies slowly between
         # consecutive steps in developed flow — the previous increment cuts
         # the CG iteration count materially at small dt.  Under p_extrap
         # the increment is the CHANGE of increments (near zero in smooth
         # flow), so zero is the better initial guess.
         phi_x0 = None if theta != 0.0 else phi_prev
-        res_p = cg(apply_ap, rhs_p, x0=phi_x0, tol=tol,
+        res_p = cg(apply_p, rhs_p, x0=phi_x0, tol=tol,
                    maxiter=cfg.proj_p_maxiter, precond=solve_ap)
         phi = (res_p.x * params.ap_dir_pin if pinned
                else res_p.x - jnp.mean(res_p.x))

@@ -42,6 +42,10 @@ ap.add_argument("--wake-levels", type=int, default=None,
                 help="extra wake-band refinement levels (2d2 default 1)")
 ap.add_argument("--bsr-block", type=int, default=0,
                 help="BSR block size (0 = auto, see SolverConfig)")
+ap.add_argument("--proj-poisson", default="laplacian",
+                choices=["laplacian", "schur"],
+                help="projection Poisson operator (schur = exact "
+                     "discrete projection via the compatible B W B^T)")
 ap.add_argument("--f-precond", default="bj", choices=["bj", "diag"],
                 help="momentum-solve preconditioner (diag avoids the "
                      "block-Jacobi tile machinery: HBM-lean at >2M DoF)")
@@ -107,6 +111,7 @@ cfg = SolverConfig(dtype=dtype, nu=1.0e-3, ref_length=0.1,
                    proj_f_maxiter=100, proj_p_maxiter=50,
                    curved_boundary=not args.no_curved,
                    bsr_block=args.bsr_block,
+                   proj_poisson=args.proj_poisson,
                    output_dir="/tmp/st_out", cache_dir="/tmp/st_cache",
                    csv_path=csv, inner_maxiter_f=10)
 ns = NavierStokes(mesh, 2, 1, deltat=dt, T=T, step=400, inlet=inlet,
