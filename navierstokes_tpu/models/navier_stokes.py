@@ -1331,8 +1331,15 @@ class NavierStokes:
             wall = _walltime.perf_counter() - t0
             self.time = float(t_dev)
             per_step = wall / k
-            k_raw = max(1, min(int(budget_s / max(per_step, 1e-3)),
-                               out_every or 1_000_000))
+            # cfg.steps_per_chunk > 0 caps the adaptive chunk length —
+            # every chunk-length variant is a separately LOADED TPU
+            # executable with its own temp arena, and near the HBM limit
+            # a second resident program OOMs a run whose single-step
+            # program fits (3.39M-DoF 3D: steps 1-2 ran at 2.7 s/step,
+            # the k=8 variant's load OOM'd; logs/st_3d1_34M_diagp.log)
+            k_cap = (cfg.steps_per_chunk if cfg.steps_per_chunk > 0
+                     else (out_every or 1_000_000))
+            k_raw = max(1, min(int(budget_s / max(per_step, 1e-3)), k_cap))
             # quantize to powers of two to bound the number of compiled
             # chunk-length variants (persistent cache covers reruns)
             k_auto = 1 << (k_raw.bit_length() - 1)

@@ -42,6 +42,10 @@ ap.add_argument("--wake-levels", type=int, default=None,
                 help="extra wake-band refinement levels (2d2 default 1)")
 ap.add_argument("--bsr-block", type=int, default=0,
                 help="BSR block size (0 = auto, see SolverConfig)")
+ap.add_argument("--steps-per-chunk", type=int, default=0,
+                help="cap the jitted scan chunk length (1 near the HBM "
+                     "limit: a second chunk-length variant is a second "
+                     "resident TPU executable arena)")
 ap.add_argument("--proj-poisson", default="laplacian",
                 choices=["laplacian", "schur"],
                 help="projection Poisson operator (schur = exact "
@@ -112,6 +116,7 @@ cfg = SolverConfig(dtype=dtype, nu=1.0e-3, ref_length=0.1,
                    curved_boundary=not args.no_curved,
                    bsr_block=args.bsr_block,
                    proj_poisson=args.proj_poisson,
+                   steps_per_chunk=args.steps_per_chunk,
                    output_dir="/tmp/st_out", cache_dir="/tmp/st_cache",
                    csv_path=csv, inner_maxiter_f=10)
 ns = NavierStokes(mesh, 2, 1, deltat=dt, T=T, step=400, inlet=inlet,
