@@ -85,6 +85,7 @@ def test_2d2_dt_convergence_traces():
         "st_2d2_projection_bdf2_h0125_dt00125.csv": (3.25, 1.03),
         "st_2d2_projection_bdf2_h0125_dt0000625.csv": (3.26, 1.10),
         "st_2d2_monolithic_h015_dt00125.csv": (3.24, 1.045),
+        "st_2d2_monolithic_h015_dt0000625.csv": (3.24, 1.035),
     }
     u_mean = 2.0 * 1.5 / 3.0
     for name, (cd_cap, cl_cap) in cases.items():
