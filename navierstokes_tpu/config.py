@@ -184,10 +184,23 @@ class SolverConfig:
     #       The bare compatible operator was measured to excite a
     #       growing outflow mode in round 2 (ops/p1ell.assemble_p1_stiffness
     #       notes); here it is outlet-PINNED like the Laplacian (phi=0
-    #       rows/cols at outlet P1 nodes), which anchors that mode.
+    #       rows/cols at outlet P1 nodes), which anchors that mode,
+    #       AND pinned at every transmission-crippled boundary pressure
+    #       node (see proj_schur_pin_ratio) — without the latter the
+    #       boundary rows whose velocity stencil is largely Dirichlet
+    #       demand O(100x) phi spikes and the stepping blows up
+    #       (measured round 5; models/navier_stokes._build_cc_statics).
     #       Costs one apply_bt+apply_b pair per CG iteration on top of
     #       the V-cycle.
     proj_poisson: str = "laplacian"
+    # proj_poisson='schur' pin threshold: pin phi=0 at pressure nodes
+    # whose masked S diagonal keeps less than this fraction of its
+    # unmasked weight (their divergence is left to the BC re-imposition,
+    # as the Laplacian variant leaves its boundary layer everywhere).
+    # 1.0-eps pins every Dirichlet-adjacent node (exactness only at
+    # pure-interior nodes); smaller keeps more nodes exact but risks the
+    # measured boundary-mode instability.
+    proj_schur_pin_ratio: float = 0.95
     # Relative tolerance of the projection sub-solves.  1e-4 is matched to
     # the O(dt^2) splitting error: measured Cd within 0.3% of the fully
     # (1e-6) converged projection at the 1M-DoF bench point, at ~2.3x less

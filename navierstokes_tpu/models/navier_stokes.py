@@ -87,6 +87,10 @@ class StepParams:
     faces_obst: object      # FaceArrays | None (obstacle, tag 4)
     # Cahouet-Chabard data (None unless operator='bsr' and precond='cc'):
     ap_w: object            # (n_p2,) static masked 1/lumped-mass weights
+    ap_schur_pin: object    # (n_p1,) 0/1: 0 at outlet-pinned AND
+                            # transmission-crippled boundary pressure nodes;
+                            # only populated for proj_poisson='schur'
+                            # (see _build_cc_statics)
     ap: object              # EllBlocked: host-assembled Ap = B diag(w) B^T
     ap_sc_inv: object       # coarse inverse of Ap (static)
     ap_lam: object          # lambda_max estimate for Ap smoothing
@@ -514,6 +518,28 @@ class NavierStokes:
         if self._ap_dir_pinned:
             pin[out_nodes] = 0.0
         self._ap_dir_pin = jnp.asarray(pin, self.dtype)
+        if self.config.proj_poisson == "schur":
+            # Exact discrete projection (proj_poisson='schur') pin set.
+            # S = B diag(mask/M_L) B^T loses most of its row weight at
+            # pressure nodes whose velocity stencil is largely Dirichlet
+            # (inlet/wall/obstacle nodes): demanding EXACT zero divergence
+            # there forces O(100x) phi spikes through the few free
+            # velocity DoFs and the coupled stepping grows a boundary
+            # pressure mode exponentially (measured: NaN by step ~13 on
+            # the h=0.08 cylinder channel, either BDF order).  Pin phi=0
+            # at every node whose masked S diagonal keeps < 50% of its
+            # unmasked weight — divergence there is left to the BC
+            # re-imposition, exactly as the Laplacian variant leaves its
+            # boundary layer — and keep the exact projection at every
+            # remaining node.
+            from navierstokes_tpu.ops import bsr as _B
+            d_m = np.asarray(_B.schur_diag(self.ell, w))
+            d_r = np.asarray(_B.schur_diag(
+                self.ell, jnp.asarray(1.0 / self._lumped_host,
+                                      self.dtype)))
+            crippled = d_m < self.config.proj_schur_pin_ratio * d_r
+            pin_s = pin * (~crippled)
+            self._ap_schur_pin = jnp.asarray(pin_s, self.dtype)
         self._ap_dir = assemble_p1_stiffness(sp, self._cells_host,
                                              self.dtype, b=self.ell.bp,
                                              dirichlet_nodes=out_nodes)
@@ -650,6 +676,7 @@ class NavierStokes:
                           scat_v=self.scat_v, scat_p=self.scat_p,
                           faces_obst=self.faces_obst,
                           ap_w=getattr(self, "_ap_w", None),
+                          ap_schur_pin=getattr(self, "_ap_schur_pin", None),
                           ap=getattr(self, "_ap", None),
                           ap_sc_inv=getattr(self, "_ap_sc_inv", None),
                           ap_lam=getattr(self, "_ap_lam", None),
@@ -823,23 +850,24 @@ class NavierStokes:
             rhs_p = rhs_p * params.ap_dir_pin
         else:
             rhs_p = rhs_p - jnp.mean(rhs_p)
+        pin_phi = params.ap_dir_pin
         if cfg.proj_poisson == "schur":
             # EXACT discrete projection: CG on the compatible
-            # S = B W B^T (the operator of the velocity correction
-            # below), V-cycle on the assembled Laplacian as the
-            # spectrally-equivalent preconditioner; outlet-pinned like
-            # the Laplacian (see config.proj_poisson)
+            # S = B W B^T — with the masked W, EXACTLY the operator of
+            # the velocity correction below, so div(u_new) = 0 to the CG
+            # tolerance at every unpinned node — with the V-cycle on the
+            # assembled Laplacian as the spectrally-equivalent
+            # preconditioner.  Pinned at the outlet AND at the
+            # transmission-crippled boundary nodes (_build_cc_statics).
             w_col = params.ap_w[:, None]
-            if pinned:
-                pin = params.ap_dir_pin
+            pin_phi = params.ap_schur_pin
 
-                def apply_p(xp):
-                    xm = xp * pin
-                    y = apply_B_raw(w_col * apply_Bt_raw(xm))
-                    return y * pin + (xp - xm)
-            else:
-                def apply_p(xp):
-                    return apply_B_raw(w_col * apply_Bt_raw(xp))
+            def apply_p(xp):
+                xm = xp * pin_phi
+                y = apply_B_raw(w_col * apply_Bt_raw(xm))
+                return y * pin_phi + (xp - xm)
+
+            rhs_p = (div_star / dt_eff) * pin_phi
         else:
             apply_p = apply_ap
         # warm start: phi (the pressure increment) varies slowly between
@@ -850,7 +878,8 @@ class NavierStokes:
         phi_x0 = None if theta != 0.0 else phi_prev
         res_p = cg(apply_p, rhs_p, x0=phi_x0, tol=tol,
                    maxiter=cfg.proj_p_maxiter, precond=solve_ap)
-        phi = (res_p.x * params.ap_dir_pin if pinned
+        phi = (res_p.x * pin_phi
+               if (pinned or cfg.proj_poisson == "schur")
                else res_p.x - jnp.mean(res_p.x))
 
         # ---- correction + rotational pressure update ----

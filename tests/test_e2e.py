@@ -249,9 +249,17 @@ def test_projection_scheme_matches_monolithic(coarse_mesh, tmp_path):
 def test_projection_schur_poisson_exact_divergence(coarse_mesh, tmp_path):
     """proj_poisson='schur' (CG on the compatible B W B^T with the
     Laplacian V-cycle as preconditioner) makes the discrete projection
-    exact: the corrected velocity's divergence drops to the CG
-    tolerance, orders below the approximate (consistent-Laplacian)
-    projection's Lp-vs-S discrepancy, while tracking the same flow."""
+    exact at every non-pinned node: the corrected velocity's divergence
+    there drops to the CG tolerance, orders below the approximate
+    (consistent-Laplacian) projection's Lp-vs-S discrepancy, while
+    tracking the same flow over this short horizon.
+
+    NOTE the option is EXPERIMENTAL: on open-channel flows the coupled
+    stepping is long-horizon unstable (measured NaN by t~0.4-0.8 at
+    h=0.08 under every variant tried — masked/unmasked weights, pin
+    ratios 0/0.5/0.95/0.999, rotational on/off, BDF1/BDF2, CG tol down
+    to 1e-10; VALIDATION.md round-5 schur study).  This test documents
+    the exactness property on a horizon inside the stable window."""
     from navierstokes_tpu.ops import bsr as B
     ns_l = _make(coarse_mesh, str(tmp_path / "l"), T=0.15, step=5,
                  scheme="projection", proj_bdf2=False,
@@ -264,11 +272,12 @@ def test_projection_schur_poisson_exact_divergence(coarse_mesh, tmp_path):
     assert np.isfinite(ns_s.cd)
     assert abs(ns_s.cd - ns_l.cd) < 0.05 * max(abs(ns_l.cd), 1.0)
 
+    # compare divergence on the node set the schur solve controls (its
+    # pin set excludes outlet AND transmission-crippled boundary nodes)
+    pin = np.asarray(ns_s._ap_schur_pin)
+
     def div_norm(ns):
-        # mask the pinned outlet rows (their phi is eliminated, so the
-        # compatible projection does not control divergence there)
         d = np.asarray(B.apply_b(ns.ell, ns._u))
-        pin = np.asarray(ns._ap_dir_pin)
         return float(np.abs(d * pin).max())
 
     dl, ds = div_norm(ns_l), div_norm(ns_s)
