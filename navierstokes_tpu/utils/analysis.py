@@ -61,3 +61,32 @@ def strouhal(csv_path: str, name: str = "Cl", skip_fraction: float = 0.5,
     amp = np.abs(np.fft.rfft(y))
     f_peak = float(freqs[1:][np.argmax(amp[1:])])
     return f_peak * ref_length / u_mean
+
+
+def richardson(values, ratios=None):
+    """Richardson-style extrapolation of a convergent sequence of
+    functionals f_1, f_2, ..., f_n (coarse -> fine).
+
+    Fits the last three values to f_k = f_inf - C r^k (geometric
+    increments) and returns (f_inf, r): the extrapolated limit and the
+    measured increment ratio r = (f_n - f_{n-1}) / (f_{n-1} - f_{n-2}).
+    With uniform refinement factor s and order p, r = s^{-p}; pass
+    ``ratios`` (the per-level refinement factors, len n-1) to also get
+    the observed order p = -log(r)/log(s) appended as a third element.
+
+    Used for the 3D-1Z Cd mesh sequence and the 2D-2 Cl_max dt
+    sequences (VALIDATION.md).  Reference counterpart: the published
+    Schaefer-Turek compilations report grid-extrapolated bands
+    (tests/3D/test_01/src/test_01.cpp:57-58 cites them)."""
+    v = np.asarray(values, dtype=float)
+    if len(v) < 3:
+        raise ValueError("need at least 3 levels")
+    d1, d2 = v[-2] - v[-3], v[-1] - v[-2]
+    if d1 == 0.0 or np.sign(d1) != np.sign(d2) or abs(d2) >= abs(d1):
+        return float("nan"), float("nan")  # not in the geometric regime
+    r = d2 / d1
+    f_inf = v[-1] + d2 * r / (1.0 - r)
+    if ratios is not None:
+        s = float(ratios[-1])
+        return float(f_inf), float(r), float(-np.log(r) / np.log(s))
+    return float(f_inf), float(r)

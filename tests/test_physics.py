@@ -166,3 +166,19 @@ def test_inlet_ramp_time_factor():
     t = 0.1
     assert abs(puls.time_factor(t)
                - math.sin(math.pi * t / 8.0) * 0.5) < 1e-12
+
+
+def test_richardson_extrapolation():
+    """richardson() recovers the limit and order of a synthetic
+    first-order sequence f_k = 1 - 0.1 * 2^-k exactly."""
+    from navierstokes_tpu.utils.analysis import richardson
+    vals = [1 - 0.1 * 2.0 ** -k for k in range(4)]
+    f_inf, r = richardson(vals)
+    assert abs(f_inf - 1.0) < 1e-12
+    assert abs(r - 0.5) < 1e-12
+    f_inf, r, p = richardson(vals, ratios=[2.0, 2.0, 2.0])
+    assert abs(p - 1.0) < 1e-12
+    # non-geometric (non-monotone) sequences refuse to extrapolate
+    import math
+    f_inf, r = richardson([1.0, 1.2, 1.1])
+    assert math.isnan(f_inf)
