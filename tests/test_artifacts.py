@@ -86,6 +86,9 @@ def test_2d2_dt_convergence_traces():
         "st_2d2_projection_bdf2_h0125_dt0000625.csv": (3.26, 1.10),
         "st_2d2_monolithic_h015_dt00125.csv": (3.24, 1.045),
         "st_2d2_monolithic_h015_dt0000625.csv": (3.24, 1.035),
+        # the three-way in-band run (Cd_max 3.2269 / Cl_max 0.9965 /
+        # St 0.3002 — all inside the published intervals)
+        "st_2d2_projection_bdf2_h015_dt00003125.csv": (3.24, 1.01),
     }
     u_mean = 2.0 * 1.5 / 3.0
     for name, (cd_cap, cl_cap) in cases.items():
