@@ -10,8 +10,9 @@ Headline scheme: the PRODUCTION projection scheme (rotational
 incremental pressure-correction, BDF2 + extrapolated convection) at
 dt=0.00125 — INSIDE the physics-validated regime (VALIDATION.md: this
 scheme/mesh family produces Cd_max 3.224 / Cl_max 1.019 / St 0.300 at
-this dt, and lands ALL THREE inside the published bands — 3.2269 /
-0.9965 / 0.3002 — at dt=0.0003125; steps/s is dt-independent, so the
+this dt, and lands ALL THREE inside the published bands at dt=0.0003125
+— projection 3.2269 / 0.9965 / 0.3002, and the reference-parity
+monolithic path 3.2333 / 1.0090 / 0.3002; steps/s is dt-independent, so the
 headline dt is the throughput point of a physics-validated family).  The advective CFL is MEASURED
 from the live velocity field (NavierStokes.measured_cfl) and printed
 below — the round-4 static guardrail that paired the global h_min with
